@@ -1,0 +1,79 @@
+"""Global render configuration.
+
+TPU-native counterpart of the reference's two config tiers:
+compile-time constants (reference: src/config.rs:4-25) and the CLI flags
+(reference: src/main.rs:1230-1256).  Here both live in one dataclass so a
+render is fully described by data, not by a code edit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+# ---------------------------------------------------------------------------
+# numeric constants (reference: src/config.rs:4-9)
+# ---------------------------------------------------------------------------
+PI = math.pi
+PI2 = 2.0 * math.pi
+EPS = 1e-4
+OFFSET = 1e-4          # ray self-intersection offset (config.rs:8)
+# The reference uses 1e100 as "infinity" (config.rs:9).  That overflows f32,
+# so the device-side "no hit yet" distance is a large finite f32.
+INF = 1e30
+
+GAMMA_FACTOR = 2.2     # config.rs:11
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """One render = one RenderConfig + one scene name."""
+
+    # image / sampling (main.rs:1249-1256 defaults)
+    width: int = 1920
+    height: int = 1080
+    sampling: int = 1000           # progressive pass limit
+    time_limit_sec: float = 123.0  # rtcamp6 regulation
+    report_interval_sec: float = 15.0
+
+    # per-pass supersampling grid (config.rs:13): 2x2 = 4 rays/pixel/pass
+    supersampling: int = 2
+
+    # path tracing (config.rs:14): loop `1..10` = 9 bounces
+    bounce_limit: int = 10
+
+    # tone mapping (config.rs:17-19)
+    tonemap_mode: str = "reinhard"       # "none" | "reinhard"
+    tonemap_exposure: float = 1.5
+    tonemap_white_point: float = 20.0
+
+    # bilateral-filter denoise (config.rs:22-25)
+    bilateral_iterations: int = 1
+    bilateral_diameter: int = 3
+    bilateral_sigma_i: float = 1.0
+    bilateral_sigma_s: float = 16.0
+    # The reference's filter underflows u32 at image edges (filter.rs:43-44);
+    # default here is correct clamping, flip for bug-parity renders.
+    bilateral_reference_edge_bug: bool = False
+
+    # integrator behavior
+    # The reference has no MIS: NEE adds direct light at vertex k while the
+    # BSDF continuation still adds emission at vertex k+1 (renderer.rs:196,
+    # see SURVEY.md §3.4).  "reference" reproduces that; "nee_clamp" masks the
+    # BSDF-hit emission on NEE-able vertices.
+    direct_light_mode: str = "reference"
+
+    # rng
+    seed: int = 8700304            # reference's base seed (renderer.rs:167)
+
+    # device precision ("float32" on TPU; CPU oracle tests may use float64)
+    dtype: str = "float32"
+
+    @property
+    def rays_per_pixel_per_pass(self) -> int:
+        return self.supersampling * self.supersampling
+
+    @property
+    def num_bounces(self) -> int:
+        # reference: `for _ in 1..PATHTRACING_BOUNCE_LIMIT` (renderer.rs:174)
+        return self.bounce_limit - 1

@@ -1,0 +1,236 @@
+"""Wavefront path-tracing integrator.
+
+The reference's per-pixel recursive radiance loop (reference:
+src/renderer.rs:163-203) becomes a fixed-depth `lax.scan` over bounces of a
+flat ray batch; terminated rays stay in their lanes behind an alive mask
+(dead-lane masking instead of stream compaction — measured to be the right
+trade at these depths).  Next-event estimation mirrors
+renderer.rs:269-296, including the *absence* of MIS: by default the BSDF
+continuation still accumulates emission at the next vertex, reproducing the
+reference's double-counted direct light (SURVEY.md §3.4) — disable with
+direct_light_mode="nee_clamp".
+
+Accumulation order per bounce matches renderer.rs:174-200 exactly:
+NEE first (with the pre-update throughput), then emission (masked out when
+the BSDF sample was invalid), then the throughput update, then termination.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OFFSET, PI2
+from ..scene.compile import CameraArrays, SceneArrays
+from ..utils.vec import Vec2, Vec3, where3, zeros3_like
+from . import bsdf
+from .camera import ray_pinhole, ray_with_dof
+from .intersect import intersect_scene, surface_attributes
+from .texture import point_emission, point_material, sample_skybox
+
+
+def _uniform_pair(key, n, dtype):
+    k1, k2 = jax.random.split(key)
+    return (
+        jax.random.uniform(k1, (n,), dtype),
+        jax.random.uniform(k2, (n,), dtype),
+    )
+
+
+def sample_light_surface(
+    s: SceneArrays, light_index: int, u1, u2
+) -> tuple[Vec3, Vec3, jax.Array]:
+    """Uniform point on emissive sphere `light_index`
+    (reference: scene.rs:92-101).  Returns (position, normal, pdf)."""
+    theta = PI2 * u1
+    unit_z = 1.0 - 2.0 * u2
+    a = jnp.sqrt(jnp.maximum(1.0 - unit_z * unit_z, 0.0))
+    normal = Vec3(a * jnp.cos(theta), a * jnp.sin(theta), unit_z)
+    center = Vec3(s.lt_cx[light_index], s.lt_cy[light_index], s.lt_cz[light_index])
+    radius = s.lt_radius[light_index]
+    position = center + normal * (radius + OFFSET)
+    pdf = 1.0 / (4.0 * jnp.pi * radius * radius)
+    return position, normal, pdf
+
+
+def next_event_estimation(
+    s: SceneArrays,
+    origin: Vec3,
+    view: Vec3,
+    normal: Vec3,
+    surface,
+    param,
+    roughness,
+    albedo: Vec3,
+    u1,
+    u2,
+) -> Vec3:
+    """Direct light at `origin` from every emissive sphere
+    (renderer.rs:269-296).  One sample per light, shared randoms across
+    lights like the reference."""
+    acc = zeros3_like(origin.x)
+    num_lights = s.lt_radius.shape[0]
+    for li in range(num_lights):
+        lpos, lnormal, pdf = sample_light_surface(s, li, u1, u2)
+        shadow_vec = lpos - origin
+        dist2 = shadow_vec.dot(shadow_vec)
+        shadow_dir = shadow_vec * jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+
+        hit = intersect_scene(s, origin, shadow_dir)
+        surf = surface_attributes(s, origin, shadow_dir, hit)
+        # visibility: closest hit coincides with the sampled point
+        # (renderer.rs:282, vector.rs:89-91 — tolerance 4*OFFSET)
+        delta = surf.position - lpos
+        visible = hit.mask & (delta.dot(delta) < (4.0 * OFFSET) ** 2)
+
+        emission = point_emission(s, surf.mat_id, surf.uv)
+        dot_0 = jnp.abs(normal.dot(shadow_dir))
+        dot_l = jnp.abs(lnormal.dot(shadow_dir))
+        geom = dot_0 * dot_l / jnp.maximum(dist2, 1e-20)
+        f = bsdf.evaluate(surface, param, roughness, view, normal, shadow_dir)
+        w = jnp.where(visible, f * geom / pdf, 0.0)
+        acc = acc + emission * w
+    return acc * albedo
+
+
+class PathState(NamedTuple):
+    o: Vec3
+    d: Vec3
+    acc: Vec3
+    refl: Vec3
+    alive: jax.Array
+
+
+def trace(
+    s: SceneArrays,
+    o: Vec3,
+    d: Vec3,
+    key,
+    num_bounces: int,
+    direct_light_mode: str = "reference",
+) -> Vec3:
+    """Trace a batch of rays for `num_bounces` path vertices; returns
+    accumulated radiance per ray."""
+    n = o.x.shape[0]
+    dtype = o.x.dtype
+    use_nee = s.lt_radius.shape[0] > 0
+
+    def bounce(state: PathState, bounce_idx):
+        kb = jax.random.fold_in(key, bounce_idx)
+        k_bsdf, k_nee = jax.random.split(kb)
+        u1, u2 = _uniform_pair(k_bsdf, n, dtype)
+
+        hit = intersect_scene(s, state.o, state.d)
+        surf = surface_attributes(s, state.o, state.d, hit)
+        pm = point_material(s, surf.mat_id, surf.uv)
+
+        view = -state.d
+        bs = bsdf.sample(
+            pm.surface, pm.param, pm.roughness, surf.position, view, surf.normal,
+            u1, u2,
+        )
+
+        live_hit = state.alive & hit.mask
+        sample_ok = live_hit & bs.valid
+
+        acc = state.acc
+        if use_nee:
+            nee_mask = sample_ok & bsdf.nee_available(pm.surface)
+            n1, n2 = _uniform_pair(k_nee, n, dtype)
+            nee = next_event_estimation(
+                s, bs.origin, view, surf.normal,
+                pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
+            )
+            acc = acc + state.refl * nee * jnp.where(nee_mask, 1.0, 0.0)
+
+        # emission of the hit surface, or skybox on miss (scene.rs:351);
+        # an invalid BSDF sample breaks *before* the emission add
+        # (renderer.rs:190-196)
+        sky = sample_skybox(s, state.d)
+        emission = where3(hit.mask, pm.emission, sky)
+        emit_mask = state.alive & (~hit.mask | bs.valid)
+        if direct_light_mode == "nee_clamp" and use_nee:
+            # optional no-double-count mode: NEE-able surfaces don't also
+            # collect emission through the BSDF path beyond the first vertex
+            emit_mask = emit_mask & (
+                (bounce_idx == 0) | ~(hit.mask & bsdf.nee_available(pm.surface))
+            )
+        acc = acc + state.refl * emission * jnp.where(emit_mask, 1.0, 0.0)
+
+        refl = where3(
+            sample_ok, state.refl * pm.albedo * bs.reflectance, state.refl
+        )
+        nonzero = (refl.x != 0.0) | (refl.y != 0.0) | (refl.z != 0.0)
+        alive = sample_ok & nonzero
+
+        o = where3(sample_ok, bs.origin, state.o)
+        d = where3(sample_ok, bs.direction, state.d)
+        return PathState(o, d, acc, refl, alive), None
+
+    init = PathState(
+        o=o,
+        d=d,
+        acc=zeros3_like(o.x),
+        refl=Vec3(jnp.ones(n, dtype), jnp.ones(n, dtype), jnp.ones(n, dtype)),
+        alive=jnp.ones(n, bool),
+    )
+    final, _ = jax.lax.scan(bounce, init, jnp.arange(num_bounces))
+    return final.acc
+
+
+def render_pass(
+    s: SceneArrays,
+    cam: CameraArrays,
+    nc: Vec2,
+    key,
+    num_bounces: int,
+    lens_shape: str = "circle",
+    direct_light_mode: str = "reference",
+) -> Vec3:
+    """One progressive pass: DoF primary rays for every (pixel, subsample)
+    normalized coord, traced to radiance (renderer.rs:163-173)."""
+    n = nc.x.shape[0]
+    k_lens, k_path = jax.random.split(key)
+    u1, u2 = _uniform_pair(k_lens, n, nc.x.dtype)
+    o, d = ray_with_dof(cam, nc, u1, u2, lens_shape)
+    return trace(s, o, d, k_path, num_bounces, direct_light_mode)
+
+
+# ---------------------------------------------------------------------------
+# debug renderer (reference: renderer.rs:101-146)
+# ---------------------------------------------------------------------------
+def debug_pass(
+    s: SceneArrays, cam: CameraArrays, nc: Vec2, mode: str
+) -> Vec3:
+    """Single-sample debug shading: mode in
+    {"shading", "normal", "depth", "focal_plane"}."""
+    o, d = ray_pinhole(cam, nc)
+    hit = intersect_scene(s, o, d)
+    surf = surface_attributes(s, o, d, hit)
+    pm = point_material(s, surf.mat_id, surf.uv)
+    sky = sample_skybox(s, d)
+
+    if mode == "shading":
+        light_dir = Vec3(
+            jnp.asarray(1.0, nc.x.dtype),
+            jnp.asarray(2.0, nc.x.dtype),
+            jnp.asarray(-1.0, nc.x.dtype),
+        ).normalize()
+        sh_o = surf.position + surf.normal * OFFSET
+        zero = jnp.zeros_like(nc.x)
+        ld = Vec3(zero + light_dir.x, zero + light_dir.y, zero + light_dir.z)
+        sh_hit = intersect_scene(s, sh_o, ld)
+        shadow = jnp.where(sh_hit.mask, 0.5, 1.0)
+        diffuse = jnp.maximum(surf.normal.dot(ld), 0.0)
+        color = pm.emission + pm.albedo * (diffuse * shadow)
+    elif mode == "normal":
+        color = surf.normal
+    elif mode == "depth":
+        color = Vec3(*([0.5 * hit.t / cam.focus_distance] * 3))
+    elif mode == "focal_plane":
+        fp = jnp.abs(hit.t - cam.focus_distance)
+        color = Vec3(fp, fp, fp)
+    else:
+        raise ValueError(f"unknown debug mode {mode!r}")
+    return where3(hit.mask, color, sky)

@@ -1,0 +1,294 @@
+"""Ray-scene intersection: batched primitive tests + stackless BVH traversal.
+
+TPU-native replacement for the reference's recursive, trait-dispatched
+intersection stack (reference: src/scene.rs:58-266, src/bvh.rs:213-290).
+All tests are vectorized over a flat ray batch; the closest hit is tracked
+as (t, prim_kind, prim_idx) and shading attributes are reconstructed
+afterwards (deferred shading), so the traversal loop carries minimal state.
+
+Primitive semantics match the reference exactly:
+- sphere: near quadratic root only — rays starting inside a sphere never hit
+  it (scene.rs:58-78 observed behavior);
+- cuboid: slab test, distance = tmin if tmin>=0 else tmax, face id by
+  eps-equality in the reference's priority order (scene.rs:152-183);
+- triangle: double-sided determinant (Möller-Trumbore-style) test with
+  geometric, unflipped normal (bvh.rs:266-290).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EPS, INF
+from ..scene.bvh import LEAF_MAX
+from ..scene.compile import SceneArrays
+from ..utils.vec import Vec2, Vec3, det3, gather3, vec3, where2, where3
+
+# prim kinds
+KIND_NONE = 0
+KIND_SPHERE = 1
+KIND_CUBOID = 2
+KIND_TRIANGLE = 3
+
+
+class Hit(NamedTuple):
+    t: jax.Array          # [N] distance, INF on miss
+    kind: jax.Array       # [N] i32 prim kind
+    idx: jax.Array        # [N] i32 prim index within its kind
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.kind != KIND_NONE
+
+
+def _sphere_t(center: Vec3, radius, o: Vec3, d: Vec3) -> jax.Array:
+    """Near-root sphere distance; INF when miss (scene.rs:58-78)."""
+    a = o - center
+    b = a.dot(d)
+    c = a.dot(a) - radius * radius
+    disc = b * b - c
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    ok = (disc > 0.0) & (t > 0.0)
+    return jnp.where(ok, t, INF)
+
+
+def _slab_t(mn: Vec3, mx: Vec3, o: Vec3, inv_d: Vec3) -> tuple[jax.Array, jax.Array]:
+    """AABB slab test; returns (hit, distance) per bvh.rs:20-39."""
+    t1 = (mn.x - o.x) * inv_d.x
+    t2 = (mx.x - o.x) * inv_d.x
+    t3 = (mn.y - o.y) * inv_d.y
+    t4 = (mx.y - o.y) * inv_d.y
+    t5 = (mn.z - o.z) * inv_d.z
+    t6 = (mx.z - o.z) * inv_d.z
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(t3, t4)), jnp.minimum(t5, t6)
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(t3, t4)), jnp.maximum(t5, t6)
+    )
+    hit = (tmin <= tmax) & (tmax >= 0.0)
+    return hit, jnp.where(tmin >= 0.0, tmin, tmax)
+
+
+def _triangle_t(
+    v0: Vec3, e1: Vec3, e2: Vec3, o: Vec3, d: Vec3
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Double-sided determinant triangle test (bvh.rs:266-290).
+
+    Returns (t, u, v); t = INF on miss."""
+    ray_inv = -d
+    denom = det3(e1, e2, ray_inv)
+    denom_inv = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
+    dv = o - v0
+    u = det3(dv, e2, ray_inv) * denom_inv
+    v = det3(e1, dv, ray_inv) * denom_inv
+    t = det3(e1, e2, dv) * denom_inv
+    ok = (
+        (denom != 0.0)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return jnp.where(ok, t, INF), u, v
+
+
+def _gather_tri(s: SceneArrays, idx) -> tuple[Vec3, Vec3, Vec3]:
+    return (
+        Vec3(s.tri_v0x[idx], s.tri_v0y[idx], s.tri_v0z[idx]),
+        Vec3(s.tri_e1x[idx], s.tri_e1y[idx], s.tri_e1z[idx]),
+        Vec3(s.tri_e2x[idx], s.tri_e2y[idx], s.tri_e2z[idx]),
+    )
+
+
+class _TraverseState(NamedTuple):
+    node: jax.Array
+    t: jax.Array
+    kind: jax.Array
+    idx: jax.Array
+
+
+def _traverse_bvh(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Hit:
+    """Lockstep stackless traversal of the threaded BVH.
+
+    Every live ray holds a node pointer; one loop iteration does the AABB
+    test, (masked) leaf primitive tests, and advances the pointer along the
+    hit/miss links.  This replaces the reference's per-ray recursion
+    (bvh.rs:213-237) with a vector-machine loop: no stack, no divergence,
+    only gathers.
+    """
+    num_tris = s.tri_v0x.shape[0]
+    inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+
+    def cond(st: _TraverseState):
+        return jnp.any(st.node >= 0)
+
+    def body(st: _TraverseState) -> _TraverseState:
+        active = st.node >= 0
+        n = jnp.maximum(st.node, 0)
+        mn = Vec3(s.bvh_min_x[n], s.bvh_min_y[n], s.bvh_min_z[n])
+        mx = Vec3(s.bvh_max_x[n], s.bvh_max_y[n], s.bvh_max_z[n])
+        aabb_hit, aabb_t = _slab_t(mn, mx, o, inv_d)
+        # closest-hit pruning (pure speedup; the reference has none,
+        # bvh.rs:214 — results are identical)
+        aabb_hit = aabb_hit & (aabb_t <= st.t)
+
+        first = s.bvh_first[n]
+        count = s.bvh_count[n]
+        is_leaf = count > 0
+
+        t, kind, idx = st.t, st.kind, st.idx
+        do_prims = active & aabb_hit & is_leaf
+        for j in range(LEAF_MAX):
+            pid = jnp.clip(first + j, 0, num_tris - 1)
+            v0, e1, e2 = _gather_tri(s, pid)
+            tj, _, _ = _triangle_t(v0, e1, e2, o, d)
+            closer = do_prims & (j < count) & (tj < t)
+            t = jnp.where(closer, tj, t)
+            kind = jnp.where(closer, KIND_TRIANGLE, kind)
+            idx = jnp.where(closer, pid, idx)
+
+        nxt = jnp.where(aabb_hit, s.bvh_hit[n], s.bvh_miss[n])
+        return _TraverseState(jnp.where(active, nxt, -1), t, kind, idx)
+
+    zeros = jnp.zeros_like(hit.t, dtype=jnp.int32)
+    init = _TraverseState(zeros, hit.t, hit.kind, hit.idx)
+    out = jax.lax.while_loop(cond, body, init)
+    return Hit(out.t, out.kind, out.idx)
+
+
+def intersect_scene(s: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+    """Closest hit over spheres + cuboids (brute force, few of them) and the
+    global triangle BVH."""
+    n = o.x.shape
+    t = jnp.full(n, INF, o.x.dtype)
+    kind = jnp.zeros(n, jnp.int32)
+    idx = jnp.zeros(n, jnp.int32)
+
+    if s.sph_radius.shape[0]:
+
+        def sph_body(i, carry):
+            t, kind, idx = carry
+            c = Vec3(s.sph_cx[i], s.sph_cy[i], s.sph_cz[i])
+            ti = _sphere_t(c, s.sph_radius[i], o, d)
+            closer = ti < t
+            return (
+                jnp.where(closer, ti, t),
+                jnp.where(closer, KIND_SPHERE, kind),
+                jnp.where(closer, i, idx),
+            )
+
+        t, kind, idx = jax.lax.fori_loop(
+            0, s.sph_radius.shape[0], sph_body, (t, kind, idx)
+        )
+
+    if s.box_mat.shape[0]:
+
+        def box_body(i, carry):
+            t, kind, idx = carry
+            mn = Vec3(s.box_min_x[i], s.box_min_y[i], s.box_min_z[i])
+            mx = Vec3(s.box_max_x[i], s.box_max_y[i], s.box_max_z[i])
+            inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+            hit_i, ti = _slab_t(mn, mx, o, inv_d)
+            closer = hit_i & (ti > 0.0) & (ti < t)
+            return (
+                jnp.where(closer, ti, t),
+                jnp.where(closer, KIND_CUBOID, kind),
+                jnp.where(closer, i, idx),
+            )
+
+        t, kind, idx = jax.lax.fori_loop(
+            0, s.box_mat.shape[0], box_body, (t, kind, idx)
+        )
+
+    return _traverse_bvh(s, o, d, Hit(t, kind, idx))
+
+
+class Surface(NamedTuple):
+    """Shading attributes at the closest hit (deferred reconstruction)."""
+
+    position: Vec3
+    normal: Vec3
+    uv: Vec2
+    mat_id: jax.Array     # i32; 0 where miss (callers gate on hit.mask)
+
+
+def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
+    """Recompute normal/uv/material of the winning primitive per ray.
+
+    Doing this once after traversal (instead of inside every primitive test
+    like the reference's shared &mut Intersection, scene.rs:58-78) keeps the
+    hot loop lean; the reconstruction is a handful of gathers + flops."""
+    p = o + d * hit.t
+
+    # --- triangle attributes (bvh.rs:285-289) — the triangle table is
+    # always non-empty (compile pads a degenerate far-away triangle)
+    ti = jnp.clip(hit.idx, 0, s.tri_v0x.shape[0] - 1)
+    v0, e1, e2 = _gather_tri(s, ti)
+    _, tu, tv = _triangle_t(v0, e1, e2, o, d)
+    normal = e1.cross(e2).normalize()
+    uv = Vec2(tu, tv)
+    mat_id = s.tri_mat[ti]
+
+    if s.sph_radius.shape[0]:
+        # --- sphere attributes (scene.rs:65-73)
+        si = jnp.clip(hit.idx, 0, s.sph_radius.shape[0] - 1)
+        sc = Vec3(s.sph_cx[si], s.sph_cy[si], s.sph_cz[si])
+        sn = (p - sc).normalize()
+        # spherical uv; guard the pole where xz-length is 0
+        xz_len = jnp.sqrt(sn.x * sn.x + sn.z * sn.z)
+        safe = jnp.maximum(xz_len, 1e-20)
+        sphere_u = 0.5 - jnp.sign(sn.z) * jnp.arccos(
+            jnp.clip(sn.x / safe, -1.0, 1.0)
+        ) / (2.0 * jnp.pi)
+        sphere_v = 1.0 - jnp.arccos(jnp.clip(sn.y, -1.0, 1.0)) / jnp.pi
+        is_s = hit.kind == KIND_SPHERE
+        normal = where3(is_s, sn, normal)
+        uv = where2(is_s, Vec2(sphere_u, sphere_v), uv)
+        mat_id = jnp.where(is_s, s.sph_mat[si], mat_id)
+
+    if s.box_mat.shape[0]:
+        # --- cuboid attributes (scene.rs:157-178)
+        bi = jnp.clip(hit.idx, 0, s.box_mat.shape[0] - 1)
+        bmn = Vec3(s.box_min_x[bi], s.box_min_y[bi], s.box_min_z[bi])
+        bmx = Vec3(s.box_max_x[bi], s.box_max_y[bi], s.box_max_z[bi])
+        uvw = (p - bmn) / (bmx - bmn)
+        eq = lambda a, b: jnp.abs(a - b) < EPS
+        # priority chain: +y, -y, -x, +x, -z, then +z as the default
+        conds = [
+            eq(p.y, bmx.y),
+            eq(p.y, bmn.y),
+            eq(p.x, bmn.x),
+            eq(p.x, bmx.x),
+            eq(p.z, bmn.z),
+        ]
+        normals = [
+            (0.0, 1.0, 0.0),
+            (0.0, -1.0, 0.0),
+            (-1.0, 0.0, 0.0),
+            (1.0, 0.0, 0.0),
+            (0.0, 0.0, -1.0),
+        ]
+        uvs = [
+            Vec2(uvw.x, 1.0 - uvw.z),
+            Vec2(uvw.x, 1.0 - uvw.z),
+            Vec2(uvw.z, uvw.y),
+            Vec2(uvw.z, uvw.y),
+            Vec2(uvw.x, uvw.y),
+        ]
+        zero = jnp.zeros_like(p.x)
+        bn = Vec3(zero, zero, zero + 1.0)        # default +z face
+        buv = Vec2(uvw.x, uvw.y)
+        for c, nrm, fuv in zip(reversed(conds), reversed(normals), reversed(uvs)):
+            bn = where3(c, Vec3(zero + nrm[0], zero + nrm[1], zero + nrm[2]), bn)
+            buv = where2(c, fuv, buv)
+        is_b = hit.kind == KIND_CUBOID
+        normal = where3(is_b, bn, normal)
+        uv = where2(is_b, buv, uv)
+        mat_id = jnp.where(is_b, s.box_mat[bi], mat_id)
+
+    mat_id = jnp.where(hit.mask, mat_id, 0)
+    return Surface(position=p, normal=normal, uv=uv, mat_id=mat_id)

@@ -1,0 +1,128 @@
+"""Command-line entry point.
+
+Flag-for-flag parity with the reference CLI (reference:
+src/main.rs:1230-1256) — including `-h` meaning *height* (help is
+`--help`) and the rtcamp6-regulation defaults — plus scene selection,
+debug-mode choice and checkpoint/resume, which the reference only offered
+as code edits.
+
+Run:  python -m hanamaru_tpu [options]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from ..config import RenderConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hanamaru_tpu", add_help=False,
+        description="TPU-native progressive path tracer",
+    )
+    p.add_argument("--help", action="help", help="print this help menu")
+    p.add_argument("-d", "--debug", action="store_true", help="use debug mode")
+    p.add_argument("-w", "--width", type=int, default=1920, help="output resolution width")
+    p.add_argument("-h", "--height", type=int, default=1080, help="output resolution height")
+    p.add_argument("-s", "--sampling", type=int, default=1000, help="sampling limit")
+    p.add_argument("-t", "--time", type=float, default=123.0, help="time limit sec")
+    p.add_argument("-i", "--interval", type=float, default=15.0, help="report interval sec")
+    p.add_argument("--scene", type=str, default=None, help="scene name (see --list-scenes)")
+    p.add_argument("--list-scenes", action="store_true", help="list registered scenes")
+    p.add_argument(
+        "--debug-mode", type=str, default="focal_plane",
+        choices=["shading", "normal", "depth", "focal_plane"],
+        help="debug renderer mode (reference default: FocalPlane, main.rs:1280)",
+    )
+    p.add_argument("--out-dir", type=str, default=".", help="output directory")
+    p.add_argument("--checkpoint", type=str, default=None, help="write renderer state here on finish")
+    p.add_argument("--resume", type=str, default=None, help="resume renderer state from this checkpoint")
+    p.add_argument("--seed", type=int, default=8700304)
+    p.add_argument(
+        "--direct-light-mode", type=str, default="reference",
+        choices=["reference", "nee_clamp"],
+    )
+    p.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. cpu); the TPU plugin in this "
+        "environment ignores JAX_PLATFORMS, so this uses jax.config",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .. import models
+
+    if args.list_scenes:
+        print("\n".join(models.names()))
+        return 0
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..scene.compile import compile_scene
+    from .logio import Tee
+    from .progressive import ProgressiveRenderer, render_debug
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        sampling=args.sampling,
+        time_limit_sec=args.time,
+        report_interval_sec=args.interval,
+        seed=args.seed,
+        direct_light_mode=args.direct_light_mode,
+    )
+    scene_name = args.scene or models.DEFAULT_SCENE
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    tee = Tee(os.path.join(args.out_dir, "result.txt"))
+    total_begin = time.monotonic()
+
+    tee(f"devices: {jax.device_count()} ({jax.devices()[0].platform}).")
+    tee(f"resolution: {cfg.width}x{cfg.height}.")
+    tee(f"max sampling: {cfg.sampling}x{cfg.rays_per_pixel_per_pass} spp.")
+    tee(f"time limit: {cfg.time_limit_sec:.2f} sec.")
+    tee(f"report interval: {cfg.report_interval_sec:.2f} sec.")
+    tee(f"scene: {scene_name}.")
+
+    t0 = time.monotonic()
+    desc = models.build(scene_name)
+    cs = compile_scene(desc, models.asset_root())
+    tee(f"init scene: {time.monotonic() - t0:.2f} sec.")
+    tee(f"scene stats: {cs.stats}.")
+
+    if args.debug:
+        result = render_debug(cs, cfg, mode=args.debug_mode, out_dir=args.out_dir, tee=tee)
+    else:
+        lens_shape = desc.camera.lens_shape
+        r = ProgressiveRenderer(cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape)
+        if args.resume:
+            r.load_checkpoint(args.resume)
+            tee(f"resumed from {args.resume} at sampling {r.sampled}.")
+        result = r.render()
+        if args.checkpoint:
+            r.save_checkpoint(args.checkpoint)
+            tee(f"checkpoint: {args.checkpoint}.")
+
+    tee(f"sampled: {result.sampled}x{cfg.rays_per_pixel_per_pass} spp.")
+    total_sec = time.monotonic() - total_begin
+    used_percent = total_sec / cfg.time_limit_sec * 100.0
+    tee(
+        f"total {total_sec} sec. used {used_percent:.2f} % "
+        f"(x {100.0 / max(used_percent, 1e-9):.2f})"
+    )
+    tee(f"primary rays/sec: {result.rays_per_sec:.3e}")
+    tee.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,222 @@
+"""Progressive, time-budgeted render driver.
+
+Host-side counterpart of the reference's Renderer trait default loop +
+PathTracingRenderer reporting (reference: src/renderer.rs:25-99, 205-251):
+the device renders one progressive pass at a time into a persistent
+accumulation buffer (buffer donation keeps it in HBM); the host interleaves
+wall-clock decisions — predictive time-limit stop at 1.1x the last pass
+cost (renderer.rs:217-226), interval snapshots to NNN.png
+(renderer.rs:239-247) — with async device execution.
+
+Also provides checkpoint/resume: the accumulation buffer + pass counter +
+RNG seed are the full renderer state (the reference keeps the same state
+implicitly but never persists it, SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..ops import integrator
+from ..ops.camera import normalized_coords
+from ..ops.postprocess import finalize_image
+from ..scene.compile import CompiledScene
+from ..utils.vec import Vec3
+from .logio import Tee, save_png
+
+
+@dataclass
+class RenderResult:
+    image: np.ndarray          # [H,W,3] u8
+    sampled: int               # progressive passes completed
+    seconds: float
+    rays_per_sec: float
+
+
+def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
+    """Build the jitted one-pass accumulate step."""
+    nc = normalized_coords(cfg.width, cfg.height, cfg.supersampling)
+    ss2 = cfg.rays_per_pixel_per_pass
+
+    def one_pass(arrays, acc: Vec3, key) -> Vec3:
+        rad = integrator.render_pass(
+            arrays, cs.camera, nc, key, cfg.num_bounces,
+            lens_shape=lens_shape, direct_light_mode=cfg.direct_light_mode,
+        )
+        # sum the supersamples per pixel (renderer.rs:48-60)
+        def pix(v):
+            return v.reshape(-1, ss2).sum(axis=1)
+
+        return Vec3(
+            acc.x + pix(rad.x), acc.y + pix(rad.y), acc.z + pix(rad.z)
+        )
+
+    return jax.jit(one_pass, donate_argnums=(1,))
+
+
+def _finalize_fn(cfg: RenderConfig):
+    def fin(acc: Vec3, sampling):
+        img = Vec3(
+            acc.x.reshape(cfg.height, cfg.width),
+            acc.y.reshape(cfg.height, cfg.width),
+            acc.z.reshape(cfg.height, cfg.width),
+        )
+        return finalize_image(img, sampling, cfg)
+
+    return jax.jit(fin)
+
+
+class ProgressiveRenderer:
+    def __init__(
+        self,
+        cs: CompiledScene,
+        cfg: RenderConfig,
+        out_dir: str = ".",
+        tee: Optional[Tee] = None,
+        lens_shape: str = "circle",
+    ) -> None:
+        self.cs = cs
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.tee = tee or Tee(None)
+        self.arrays = jax.tree.map(jnp.asarray, cs.arrays)
+        self._pass = _pass_fn(cs, cfg, lens_shape)
+        self._finalize = _finalize_fn(cfg)
+        n = cfg.width * cfg.height
+        dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+        self.acc = Vec3(
+            jnp.zeros(n, dt), jnp.zeros(n, dt), jnp.zeros(n, dt)
+        )
+        self.sampled = 0
+        self._image_counter = 0
+
+    # -- checkpoint / resume ------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            acc_x=np.asarray(self.acc.x),
+            acc_y=np.asarray(self.acc.y),
+            acc_z=np.asarray(self.acc.z),
+            sampled=self.sampled,
+            seed=self.cfg.seed,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        d = np.load(path)
+        assert int(d["seed"]) == self.cfg.seed, "checkpoint seed mismatch"
+        self.acc = Vec3(
+            jnp.asarray(d["acc_x"]), jnp.asarray(d["acc_y"]), jnp.asarray(d["acc_z"])
+        )
+        self.sampled = int(d["sampled"])
+
+    # -- main loop ----------------------------------------------------------
+    def render(self) -> RenderResult:
+        cfg = self.cfg
+        tee = self.tee
+        begin = time.monotonic()
+        last_pass_sec = 0.0
+        last_report_image = begin
+        key = jax.random.PRNGKey(cfg.seed)
+
+        total_rays = 0
+        ss2 = cfg.rays_per_pixel_per_pass
+        rays_per_pass = cfg.width * cfg.height * ss2
+
+        # NOTE: sampling is 1-origin like the reference (renderer.rs:31)
+        while self.sampled < cfg.sampling:
+            sampling = self.sampled + 1
+            t0 = time.monotonic()
+            self.acc = self._pass(
+                self.arrays, self.acc, jax.random.fold_in(key, sampling)
+            )
+            jax.block_until_ready(self.acc.x)
+            now = time.monotonic()
+            last_pass_sec = now - t0
+            self.sampled = sampling
+            total_rays += rays_per_pass
+
+            used = now - begin
+            used_percent = used / cfg.time_limit_sec * 100.0
+            tee(
+                f"rendering: {sampling}x{ss2} sampled (last {last_pass_sec:.3f} sec). "
+                f"total: {used:.3f} sec ({used_percent:.2f} %)."
+            )
+
+            # predictive time-limit stop (renderer.rs:217-226)
+            if used + last_pass_sec * 1.1 > cfg.time_limit_sec:
+                tee("reached time limit")
+                self._save_numbered(final=True, used=used)
+                break
+
+            if sampling >= cfg.sampling:
+                tee("reached max sampling")
+                self._save_numbered(final=True, used=used)
+                break
+
+            if now - last_report_image >= cfg.report_interval_sec:
+                self._save_numbered(final=False, used=used)
+                last_report_image = now
+
+        seconds = time.monotonic() - begin
+        image = np.asarray(self._finalize(self.acc, self.sampled))
+        save_png(os.path.join(self.out_dir, "result.png"), image)
+        rays = total_rays
+        return RenderResult(
+            image=image,
+            sampled=self.sampled,
+            seconds=seconds,
+            rays_per_sec=rays / max(seconds, 1e-9),
+        )
+
+    def _save_numbered(self, final: bool, used: float) -> None:
+        path = os.path.join(self.out_dir, f"{self._image_counter:03d}.png")
+        if final:
+            self.tee(f"output final image: {path}")
+            self.tee(f"remain: {self.cfg.time_limit_sec - used:.3f} sec.")
+        else:
+            self.tee(f"output progress image: {path}")
+        t0 = time.monotonic()
+        image = np.asarray(self._finalize(self.acc, self.sampled))
+        self.tee(f"update_imgbuf: {time.monotonic() - t0:.3f} sec")
+        save_png(path, image)
+        if not final:
+            self._image_counter += 1
+
+
+def render_debug(
+    cs: CompiledScene,
+    cfg: RenderConfig,
+    mode: str = "focal_plane",
+    out_dir: str = ".",
+    tee: Optional[Tee] = None,
+) -> RenderResult:
+    """Single-pass debug render (reference: renderer.rs:101-146), through
+    the same tonemap/filter output path (renderer.rs:141-145)."""
+    tee = tee or Tee(None)
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    nc = normalized_coords(cfg.width, cfg.height, cfg.supersampling)
+    ss2 = cfg.rays_per_pixel_per_pass
+
+    @jax.jit
+    def run(arrays):
+        rad = integrator.debug_pass(arrays, cs.camera, nc, mode)
+
+        def pix(v):
+            return v.reshape(-1, ss2).sum(axis=1).reshape(cfg.height, cfg.width)
+
+        img = Vec3(pix(rad.x), pix(rad.y), pix(rad.z))
+        return finalize_image(img, 1, cfg)
+
+    t0 = time.monotonic()
+    image = np.asarray(run(arrays))
+    seconds = time.monotonic() - t0
+    save_png(os.path.join(out_dir, "result.png"), image)
+    rays = cfg.width * cfg.height * ss2
+    return RenderResult(image=image, sampled=1, seconds=seconds, rays_per_sec=rays / seconds)

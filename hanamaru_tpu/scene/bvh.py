@@ -1,0 +1,157 @@
+"""BVH construction and flattening for stackless TPU traversal.
+
+Build parity with the reference's median-split construction
+(reference: src/bvh.rs:107-211): sort primitive indices by a per-primitive
+coordinate sum along the longest axis of the node AABB, split at len/2,
+leaf when len/2 <= 2 (i.e. <= 5 primitives).  Mesh BVHs sort by the sum of
+the three vertex coordinates (bvh.rs:121-145); element BVHs sort by
+aabb.min + aabb.max (bvh.rs:169-193).
+
+The tree is emitted as *threaded* flat arrays in depth-first order — each
+node carries a hit link (next node when its AABB is hit: first child for
+inner nodes) and a miss link (the DFS escape).  Traversal then needs no
+per-ray stack: rays advance their node pointer in lockstep, which is the
+vector-machine replacement for the reference's recursive descent
+(bvh.rs:213-263).  Primitives are permuted into leaf order so every leaf
+owns a contiguous [first, first+count) range.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+# Leaf when len // 2 <= 2, matching bvh.rs:111-114 — leaves hold 1..=5 prims.
+_PARITY_LEAF_SPLIT = 2
+LEAF_MAX = 5
+
+
+class FlatBvh(NamedTuple):
+    """Threaded BVH as numpy arrays (host) ready to ship to device."""
+
+    aabb_min: np.ndarray   # [n, 3] f32
+    aabb_max: np.ndarray   # [n, 3] f32
+    hit_link: np.ndarray   # [n] i32: next node when AABB hit (-1 = done)
+    miss_link: np.ndarray  # [n] i32: next node when AABB missed (-1 = done)
+    first: np.ndarray      # [n] i32: first primitive (leaf) or -1
+    count: np.ndarray      # [n] i32: primitive count (leaf) or 0
+    order: np.ndarray      # [num_prims] i32: new-order -> original index
+    depth: int             # max tree depth (for traversal bounds)
+
+
+class _Node:
+    __slots__ = ("mn", "mx", "left", "right", "prims")
+
+    def __init__(self, mn, mx, left=None, right=None, prims=None):
+        self.mn, self.mx = mn, mx
+        self.left, self.right = left, right
+        self.prims = prims
+
+
+def _build(indices: np.ndarray, aabb_min, aabb_max, sort_key) -> _Node:
+    mn = aabb_min[indices].min(axis=0)
+    mx = aabb_max[indices].max(axis=0)
+    mid = len(indices) // 2
+    if mid <= _PARITY_LEAF_SPLIT:
+        return _Node(mn, mx, prims=indices)
+    ext = mx - mn
+    # longest-axis pick with the reference's strict-comparison tie-breaking
+    # (bvh.rs:121-145): x wins only if strictly greater than y and z, then y,
+    # else z.
+    if ext[0] > ext[1] and ext[0] > ext[2]:
+        axis = 0
+    elif ext[1] > ext[0] and ext[1] > ext[2]:
+        axis = 1
+    else:
+        axis = 2
+    order = indices[np.argsort(sort_key[indices, axis], kind="stable")]
+    return _Node(
+        mn,
+        mx,
+        left=_build(order[:mid], aabb_min, aabb_max, sort_key),
+        right=_build(order[mid:], aabb_min, aabb_max, sort_key),
+    )
+
+
+def _flatten(root: _Node) -> FlatBvh:
+    mins, maxs, hit, miss, first, count = [], [], [], [], [], []
+    order: list[np.ndarray] = []
+
+    def emit(node: _Node, escape: int, depth: int) -> int:
+        i = len(mins)
+        mins.append(node.mn)
+        maxs.append(node.mx)
+        hit.append(0)     # patched below
+        miss.append(escape)
+        if node.prims is not None:
+            first.append(sum(len(o) for o in order))
+            count.append(len(node.prims))
+            order.append(node.prims)
+            hit[i] = escape            # leaf: prims tested in-node, then escape
+            return depth
+        first.append(-1)
+        count.append(0)
+        hit[i] = i + 1                 # inner: descend into first child
+        d1 = emit(node.left, -2, depth + 1)     # escape patched after right idx known
+        left_slot = i + 1
+        right_idx = len(mins)
+        _patch_escape(left_slot, right_idx)
+        d2 = emit(node.right, escape, depth + 1)
+        return max(d1, d2)
+
+    def _patch_escape(node_idx: int, escape: int) -> None:
+        # fix the left subtree's exits that point at the placeholder -2
+        j = node_idx
+        while j < len(mins):
+            if miss[j] == -2:
+                miss[j] = escape
+            if first[j] >= 0 and hit[j] == -2:
+                hit[j] = escape
+            j += 1
+
+    depth = emit(root, -1, 1)
+    return FlatBvh(
+        aabb_min=np.asarray(mins, dtype=np.float32),
+        aabb_max=np.asarray(maxs, dtype=np.float32),
+        hit_link=np.asarray(hit, dtype=np.int32),
+        miss_link=np.asarray(miss, dtype=np.int32),
+        first=np.asarray(first, dtype=np.int32),
+        count=np.asarray(count, dtype=np.int32),
+        order=(
+            np.concatenate(order).astype(np.int32)
+            if order
+            else np.zeros((0,), np.int32)
+        ),
+        depth=depth,
+    )
+
+
+def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, sort_key: np.ndarray) -> FlatBvh:
+    """Generic threaded-BVH build over N primitives.
+
+    aabb_min/max: [N,3] per-primitive bounds.
+    sort_key: [N,3] per-primitive, per-axis ordering key (vertex-coordinate
+    sum for triangles, aabb.min+aabb.max for whole elements — see module doc).
+    """
+    n = len(aabb_min)
+    if n == 0:
+        return FlatBvh(
+            np.zeros((1, 3), np.float32),
+            np.zeros((1, 3), np.float32),
+            np.full((1,), -1, np.int32),
+            np.full((1,), -1, np.int32),
+            np.zeros((1,), np.int32),
+            np.zeros((1,), np.int32),
+            np.zeros((0,), np.int32),
+            1,
+        )
+    root = _build(np.arange(n), np.asarray(aabb_min), np.asarray(aabb_max), np.asarray(sort_key))
+    return _flatten(root)
+
+
+def build_triangle_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> FlatBvh:
+    """BVH over triangles given [T,3] vertex arrays."""
+    aabb_min = np.minimum(np.minimum(v0, v1), v2)
+    aabb_max = np.maximum(np.maximum(v0, v1), v2)
+    sort_key = v0 + v1 + v2   # bvh.rs:125-126 vertex-coordinate sum
+    return build_bvh(aabb_min, aabb_max, sort_key)

@@ -1,0 +1,112 @@
+"""BVH build + traversal correctness vs brute force."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hanamaru_tpu.config import INF
+from hanamaru_tpu.scene.bvh import build_triangle_bvh
+from hanamaru_tpu.scene.desc import (
+    DIFFUSE,
+    CameraDesc,
+    MaterialDesc,
+    MeshDesc,
+    SceneDesc,
+    SkyboxDesc,
+)
+from hanamaru_tpu.scene.compile import compile_scene
+from hanamaru_tpu.ops.intersect import KIND_TRIANGLE, intersect_scene
+from hanamaru_tpu.utils.vec import from_stacked
+
+
+def _random_tris(rng, t=200, scale=2.0):
+    base = rng.uniform(-scale, scale, (t, 1, 3))
+    tri = base + rng.uniform(-0.3, 0.3, (t, 3, 3))
+    return tri[:, 0], tri[:, 1], tri[:, 2]
+
+
+def test_flat_bvh_structure(rng):
+    v0, v1, v2 = _random_tris(rng)
+    bvh = build_triangle_bvh(v0, v1, v2)
+    n = len(bvh.hit_link)
+    # every primitive appears exactly once in leaf order
+    assert sorted(bvh.order.tolist()) == list(range(len(v0)))
+    # links are in range
+    assert np.all(bvh.hit_link < n)
+    assert np.all(bvh.miss_link < n)
+    assert np.all(bvh.hit_link >= -1)
+    # leaves have 1..=5 prims and contiguous coverage (bvh.rs:111-114)
+    leaf = bvh.count > 0
+    assert np.all(bvh.count[leaf] <= 5)
+    firsts = np.sort(bvh.first[leaf])
+    counts = bvh.count[leaf][np.argsort(bvh.first[leaf])]
+    assert firsts[0] == 0
+    np.testing.assert_array_equal(firsts[1:], (firsts + counts)[:-1])
+    # child AABBs are contained in the root AABB
+    assert np.all(bvh.aabb_min >= bvh.aabb_min[0] - 1e-6)
+    assert np.all(bvh.aabb_max <= bvh.aabb_max[0] + 1e-6)
+
+
+def _mesh_scene(v0, v1, v2):
+    t = len(v0)
+    verts = np.concatenate([v0, v1, v2], axis=0)
+    faces = np.stack(
+        [np.arange(t), np.arange(t) + t, np.arange(t) + 2 * t], axis=1
+    ).astype(np.int32)
+    scene = SceneDesc(
+        camera=CameraDesc(eye=(0, 0, 5), target=(0, 0, 0)),
+        elements=[
+            MeshDesc(
+                material=MaterialDesc(DIFFUSE),
+                vertices=verts,
+                faces=faces,
+            )
+        ],
+        skybox=SkyboxDesc(),
+    )
+    return compile_scene(scene)
+
+
+def _brute_force_t(v0, v1, v2, o, d):
+    """Closest-hit distances by testing every triangle in numpy f64."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)  # [T,3]
+    denom = -(n @ d)      # det(e1,e2,-d) per triangle
+    best = np.full(o.shape[:1] if o.ndim > 1 else (), np.inf)
+
+    ts = []
+    for i in range(len(v0)):
+        if denom[i] == 0:
+            ts.append(np.inf)
+            continue
+        dv = o - v0[i]
+        u = np.dot(np.cross(dv, e2[i]), -d) / denom[i]
+        v = np.dot(np.cross(e1[i], dv), -d) / denom[i]
+        t = np.dot(n[i], dv) / denom[i]
+        ok = (0 <= u <= 1) and (v >= 0) and (u + v <= 1) and (t > 0)
+        ts.append(t if ok else np.inf)
+    return np.min(ts)
+
+
+def test_traversal_matches_brute_force(rng):
+    v0, v1, v2 = _random_tris(rng, t=150)
+    cs = _mesh_scene(v0, v1, v2)
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+
+    n_rays = 100
+    o = rng.uniform(-4, 4, (n_rays, 3))
+    d = rng.standard_normal((n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    hit = jax.jit(intersect_scene)(
+        arrays, from_stacked(jnp.asarray(o, jnp.float32)), from_stacked(jnp.asarray(d, jnp.float32))
+    )
+    t_bvh = np.asarray(hit.t)
+
+    for i in range(n_rays):
+        t_ref = _brute_force_t(v0, v1, v2, o[i], d[i])
+        if np.isinf(t_ref):
+            assert t_bvh[i] >= INF * 0.99, f"ray {i}: spurious hit {t_bvh[i]}"
+        else:
+            np.testing.assert_allclose(t_bvh[i], t_ref, rtol=2e-4, err_msg=f"ray {i}")
+            assert hit.kind[i] == KIND_TRIANGLE
