@@ -36,7 +36,10 @@ class BsdfSample(NamedTuple):
 
 
 def _g_smith_joint_lambda(x_dot_n, alpha2):
-    a = 1.0 / jnp.maximum(x_dot_n * x_dot_n, 1e-20) - 1.0
+    # floor at 1e-9: the backward pass computes 1/x^4, which must stay
+    # finite in f32 (1e-20 would overflow); the clamp only kicks in at
+    # grazing angles where the masking term vanishes anyway
+    a = 1.0 / jnp.maximum(x_dot_n * x_dot_n, 1e-9) - 1.0
     return 0.5 * jnp.sqrt(1.0 + alpha2 * a) - 0.5
 
 
@@ -61,11 +64,13 @@ def cosine_sample(u1, u2, n: Vec3) -> Vec3:
     """Cosine-weighted hemisphere direction (material.rs:227-248)."""
     tangent, binormal = orthonormal_basis(n)
     phi = PI2 * u1
-    sin_t = jnp.sqrt(u2)
+    # 1e-12 floors keep sqrt's derivative finite at u2 in {0, 1} so masked
+    # lanes never poison the backward pass with inf * 0
+    sin_t = jnp.sqrt(jnp.maximum(u2, 1e-12))
     return (
         tangent * (jnp.cos(phi) * sin_t)
         + binormal * (jnp.sin(phi) * sin_t)
-        + n * jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+        + n * jnp.sqrt(jnp.maximum(1.0 - u2, 1e-12))
     )
 
 
@@ -74,9 +79,9 @@ def ggx_half_sample(u1, u2, n: Vec3, alpha2) -> Vec3:
     tangent, binormal = orthonormal_basis(n)
     phi = PI2 * u1
     cos_t = jnp.sqrt(
-        jnp.clip((1.0 - u2) / (1.0 + (alpha2 - 1.0) * u2), 0.0, 1.0)
+        jnp.clip((1.0 - u2) / (1.0 + (alpha2 - 1.0) * u2), 1e-12, 1.0)
     )
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     return (
         tangent * (sin_t * jnp.cos(phi))
         + binormal * (sin_t * jnp.sin(phi))
@@ -90,6 +95,9 @@ def _refraction_branch(
     """Fresnel russian-roulette reflect/refract (material.rs:154-199).
 
     `incident` is the direction of travel (the reference's `ray = -view`)."""
+    # all five BSDF branches run for every lane; lanes whose material is not
+    # refractive carry param=0, and 1/0 would plant inf -> 0*inf nan here
+    ior = jnp.maximum(ior, 1e-3)
     is_incoming = incident.dot(normal) < 0.0
     oriented = where3(is_incoming, normal, -normal)
     nnt = jnp.where(is_incoming, 1.0 / ior, ior)
@@ -101,10 +109,13 @@ def _refraction_branch(
 
     cos_i = incident.dot(-oriented)
     cos_t = refract_dir.dot(-oriented)
-    denom_s = nnt * cos_i + cos_t
-    denom_p = nnt * cos_t + cos_i
-    r_s = ((nnt * cos_i - cos_t) / jnp.where(denom_s == 0.0, 1.0, denom_s)) ** 2
-    r_p = ((nnt * cos_t - cos_i) / jnp.where(denom_p == 0.0, 1.0, denom_p)) ** 2
+    # magnitude clamp (not just ==0): d(1/x) overflows f32 for tiny x and
+    # poisons masked lanes with inf*0=nan in the backward pass
+    safe = lambda x, eps: jnp.where(jnp.abs(x) < eps, eps, x)
+    denom_s = safe(nnt * cos_i + cos_t, 1e-9)
+    denom_p = safe(nnt * cos_t + cos_i, 1e-9)
+    r_s = ((nnt * cos_i - cos_t) / denom_s) ** 2
+    r_p = ((nnt * cos_t - cos_i) / denom_p) ** 2
     fr = 0.5 * (r_s + r_p)
 
     reflect_rr = u1 <= fr
@@ -148,9 +159,8 @@ def sample(
     g = g_smith_joint(l_dot_n, v_dot_n, alpha2)
     fres = f_schlick(v_dot_h, param)
     denom = h_dot_n * v_dot_n
-    ggx_w = fres * jnp.clip(
-        g * v_dot_h / jnp.where(denom == 0.0, 1e-20, denom), 0.0, 1.0
-    )
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    ggx_w = fres * jnp.clip(g * v_dot_h / denom, 0.0, 1.0)
     ggx_valid = l_dot_n >= 0.0
 
     # GGXRefraction (material.rs:145-149): refraction through the GGX half
@@ -201,11 +211,8 @@ def evaluate(surface, param, roughness, view: Vec3, normal: Vec3, light: Vec3):
     g = g_smith_joint(l_dot_n, v_dot_n, alpha2)
     fres = f_schlick(v_dot_h, param)
     denom = 4.0 * l_dot_n * v_dot_n
-    ggx_val = jnp.where(
-        l_dot_n < 0.0,
-        0.0,
-        d_ggx * g * fres / jnp.where(denom == 0.0, 1e-20, denom),
-    )
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    ggx_val = jnp.where(l_dot_n < 0.0, 0.0, d_ggx * g * fres / denom)
 
     return jnp.where(
         surface == D.DIFFUSE,

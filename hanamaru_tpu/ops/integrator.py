@@ -102,6 +102,87 @@ class PathState(NamedTuple):
     alive: jax.Array
 
 
+def init_path_state(o: Vec3, d: Vec3) -> PathState:
+    n = o.x.shape[0]
+    dtype = o.x.dtype
+    return PathState(
+        o=o,
+        d=d,
+        acc=zeros3_like(o.x),
+        refl=Vec3(jnp.ones(n, dtype), jnp.ones(n, dtype), jnp.ones(n, dtype)),
+        alive=jnp.ones(n, bool),
+    )
+
+
+def bounce_step(
+    s: SceneArrays,
+    state: PathState,
+    key,
+    bounce_idx,
+    direct_light_mode: str = "reference",
+) -> PathState:
+    """One path vertex for the whole ray batch: intersect, shade, NEE,
+    accumulate, advance (renderer.rs:174-200 body).
+
+    `bounce_idx` is a traced scalar so a single compilation serves every
+    bounce — the progressive runtime calls this once per bounce from the
+    host (small program, compiled once) while `trace` wraps it in a
+    lax.scan for end-to-end autodiff."""
+    n = state.o.x.shape[0]
+    dtype = state.o.x.dtype
+    use_nee = s.lt_radius.shape[0] > 0
+    kb = jax.random.fold_in(key, bounce_idx)
+    k_bsdf, k_nee = jax.random.split(kb)
+    u1, u2 = _uniform_pair(k_bsdf, n, dtype)
+
+    hit = intersect_scene(s, state.o, state.d)
+    surf = surface_attributes(s, state.o, state.d, hit)
+    pm = point_material(s, surf.mat_id, surf.uv)
+
+    view = -state.d
+    bs = bsdf.sample(
+        pm.surface, pm.param, pm.roughness, surf.position, view, surf.normal,
+        u1, u2,
+    )
+
+    live_hit = state.alive & hit.mask
+    sample_ok = live_hit & bs.valid
+
+    acc = state.acc
+    if use_nee:
+        nee_mask = sample_ok & bsdf.nee_available(pm.surface)
+        n1, n2 = _uniform_pair(k_nee, n, dtype)
+        nee = next_event_estimation(
+            s, bs.origin, view, surf.normal,
+            pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
+        )
+        acc = acc + state.refl * nee * jnp.where(nee_mask, 1.0, 0.0)
+
+    # emission of the hit surface, or skybox on miss (scene.rs:351);
+    # an invalid BSDF sample breaks *before* the emission add
+    # (renderer.rs:190-196)
+    sky = sample_skybox(s, state.d)
+    emission = where3(hit.mask, pm.emission, sky)
+    emit_mask = state.alive & (~hit.mask | bs.valid)
+    if direct_light_mode == "nee_clamp" and use_nee:
+        # optional no-double-count mode: NEE-able surfaces don't also
+        # collect emission through the BSDF path beyond the first vertex
+        emit_mask = emit_mask & (
+            (bounce_idx == 0) | ~(hit.mask & bsdf.nee_available(pm.surface))
+        )
+    acc = acc + state.refl * emission * jnp.where(emit_mask, 1.0, 0.0)
+
+    refl = where3(
+        sample_ok, state.refl * pm.albedo * bs.reflectance, state.refl
+    )
+    nonzero = (refl.x != 0.0) | (refl.y != 0.0) | (refl.z != 0.0)
+    alive = sample_ok & nonzero
+
+    o = where3(sample_ok, bs.origin, state.o)
+    d = where3(sample_ok, bs.direction, state.d)
+    return PathState(o, d, acc, refl, alive)
+
+
 def trace(
     s: SceneArrays,
     o: Vec3,
@@ -111,71 +192,16 @@ def trace(
     direct_light_mode: str = "reference",
 ) -> Vec3:
     """Trace a batch of rays for `num_bounces` path vertices; returns
-    accumulated radiance per ray."""
-    n = o.x.shape[0]
-    dtype = o.x.dtype
-    use_nee = s.lt_radius.shape[0] > 0
+    accumulated radiance per ray.  lax.scan keeps the whole path in one
+    differentiable graph (used by the gradient/training paths)."""
 
-    def bounce(state: PathState, bounce_idx):
-        kb = jax.random.fold_in(key, bounce_idx)
-        k_bsdf, k_nee = jax.random.split(kb)
-        u1, u2 = _uniform_pair(k_bsdf, n, dtype)
-
-        hit = intersect_scene(s, state.o, state.d)
-        surf = surface_attributes(s, state.o, state.d, hit)
-        pm = point_material(s, surf.mat_id, surf.uv)
-
-        view = -state.d
-        bs = bsdf.sample(
-            pm.surface, pm.param, pm.roughness, surf.position, view, surf.normal,
-            u1, u2,
+    def body(state, bounce_idx):
+        return (
+            bounce_step(s, state, key, bounce_idx, direct_light_mode),
+            None,
         )
 
-        live_hit = state.alive & hit.mask
-        sample_ok = live_hit & bs.valid
-
-        acc = state.acc
-        if use_nee:
-            nee_mask = sample_ok & bsdf.nee_available(pm.surface)
-            n1, n2 = _uniform_pair(k_nee, n, dtype)
-            nee = next_event_estimation(
-                s, bs.origin, view, surf.normal,
-                pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
-            )
-            acc = acc + state.refl * nee * jnp.where(nee_mask, 1.0, 0.0)
-
-        # emission of the hit surface, or skybox on miss (scene.rs:351);
-        # an invalid BSDF sample breaks *before* the emission add
-        # (renderer.rs:190-196)
-        sky = sample_skybox(s, state.d)
-        emission = where3(hit.mask, pm.emission, sky)
-        emit_mask = state.alive & (~hit.mask | bs.valid)
-        if direct_light_mode == "nee_clamp" and use_nee:
-            # optional no-double-count mode: NEE-able surfaces don't also
-            # collect emission through the BSDF path beyond the first vertex
-            emit_mask = emit_mask & (
-                (bounce_idx == 0) | ~(hit.mask & bsdf.nee_available(pm.surface))
-            )
-        acc = acc + state.refl * emission * jnp.where(emit_mask, 1.0, 0.0)
-
-        refl = where3(
-            sample_ok, state.refl * pm.albedo * bs.reflectance, state.refl
-        )
-        nonzero = (refl.x != 0.0) | (refl.y != 0.0) | (refl.z != 0.0)
-        alive = sample_ok & nonzero
-
-        o = where3(sample_ok, bs.origin, state.o)
-        d = where3(sample_ok, bs.direction, state.d)
-        return PathState(o, d, acc, refl, alive), None
-
-    init = PathState(
-        o=o,
-        d=d,
-        acc=zeros3_like(o.x),
-        refl=Vec3(jnp.ones(n, dtype), jnp.ones(n, dtype), jnp.ones(n, dtype)),
-        alive=jnp.ones(n, bool),
-    )
-    final, _ = jax.lax.scan(bounce, init, jnp.arange(num_bounces))
+    final, _ = jax.lax.scan(body, init_path_state(o, d), jnp.arange(num_bounces))
     return final.acc
 
 

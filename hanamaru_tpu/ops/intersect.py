@@ -49,7 +49,7 @@ def _sphere_t(center: Vec3, radius, o: Vec3, d: Vec3) -> jax.Array:
     b = a.dot(d)
     c = a.dot(a) - radius * radius
     disc = b * b - c
-    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b - jnp.sqrt(jnp.maximum(disc, 1e-20))
     ok = (disc > 0.0) & (t > 0.0)
     return jnp.where(ok, t, INF)
 
@@ -80,13 +80,19 @@ def _triangle_t(
     Returns (t, u, v); t = INF on miss."""
     ray_inv = -d
     denom = det3(e1, e2, ray_inv)
-    denom_inv = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
+    # divide by a safe value, then mask: keeps the backward pass free of
+    # inf * 0 = nan at denom == 0
+    # reject |denom| < 1e-12 (not just == 0): keeps 1/denom^2 finite in f32
+    # for the backward pass; forward-wise this only drops near-parallel rays
+    degenerate = jnp.abs(denom) < 1e-12
+    denom_safe = jnp.where(degenerate, 1.0, denom)
+    denom_inv = jnp.where(degenerate, 0.0, 1.0 / denom_safe)
     dv = o - v0
     u = det3(dv, e2, ray_inv) * denom_inv
     v = det3(e1, dv, ray_inv) * denom_inv
     t = det3(e1, e2, dv) * denom_inv
     ok = (
-        (denom != 0.0)
+        ~degenerate
         & (u >= 0.0)
         & (u <= 1.0)
         & (v >= 0.0)
@@ -162,7 +168,17 @@ def _traverse_bvh(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Hit:
 
 def intersect_scene(s: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """Closest hit over spheres + cuboids (brute force, few of them) and the
-    global triangle BVH."""
+    global triangle BVH.
+
+    The hit *search* is detached from autodiff (stop_gradient on all
+    inputs): which primitive wins is discrete, and the traversal while_loop
+    is not reverse-differentiable anyway.  `surface_attributes` recomputes
+    the winner's distance differentiably, so gradients w.r.t. continuous
+    inputs flow through the reconstructed hit point — the standard
+    detached-visibility formulation for differentiable path tracing."""
+    s = jax.lax.stop_gradient(s)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     n = o.x.shape
     t = jnp.full(n, INF, o.x.dtype)
     kind = jnp.zeros(n, jnp.int32)
@@ -221,30 +237,57 @@ def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
 
     Doing this once after traversal (instead of inside every primitive test
     like the reference's shared &mut Intersection, scene.rs:58-78) keeps the
-    hot loop lean; the reconstruction is a handful of gathers + flops."""
-    p = o + d * hit.t
+    hot loop lean; the reconstruction is a handful of gathers + flops.
 
+    The winner's distance is *recomputed differentiably* here (the search in
+    intersect_scene is detached), so position/normal/uv carry gradients
+    w.r.t. ray origin/direction — which is how parameter gradients reach
+    secondary vertices."""
     # --- triangle attributes (bvh.rs:285-289) — the triangle table is
     # always non-empty (compile pads a degenerate far-away triangle)
     ti = jnp.clip(hit.idx, 0, s.tri_v0x.shape[0] - 1)
     v0, e1, e2 = _gather_tri(s, ti)
-    _, tu, tv = _triangle_t(v0, e1, e2, o, d)
+    t_diff, tu, tv = _triangle_t(v0, e1, e2, o, d)
     normal = e1.cross(e2).normalize()
     uv = Vec2(tu, tv)
     mat_id = s.tri_mat[ti]
 
+    # differentiable distance of the winning primitive per kind
     if s.sph_radius.shape[0]:
-        # --- sphere attributes (scene.rs:65-73)
         si = jnp.clip(hit.idx, 0, s.sph_radius.shape[0] - 1)
         sc = Vec3(s.sph_cx[si], s.sph_cy[si], s.sph_cz[si])
+        t_diff = jnp.where(
+            hit.kind == KIND_SPHERE,
+            _sphere_t(sc, s.sph_radius[si], o, d),
+            t_diff,
+        )
+    if s.box_mat.shape[0]:
+        bi = jnp.clip(hit.idx, 0, s.box_mat.shape[0] - 1)
+        bmn = Vec3(s.box_min_x[bi], s.box_min_y[bi], s.box_min_z[bi])
+        bmx = Vec3(s.box_max_x[bi], s.box_max_y[bi], s.box_max_z[bi])
+        # clamp direction components away from 0: an exactly axis-aligned
+        # ray would otherwise produce inf intermediates whose gradient is nan
+        safe_d = Vec3(
+            *(jnp.where(jnp.abs(c) < 1e-12, 1e-12, c) for c in d)
+        )
+        inv_d = Vec3(1.0 / safe_d.x, 1.0 / safe_d.y, 1.0 / safe_d.z)
+        _, t_box = _slab_t(bmn, bmx, o, inv_d)
+        t_diff = jnp.where(hit.kind == KIND_CUBOID, t_box, t_diff)
+    t_use = jnp.where(hit.mask, t_diff, hit.t)   # hit.t is detached INF on miss
+    p = o + d * t_use
+
+    if s.sph_radius.shape[0]:
+        # --- sphere attributes (scene.rs:65-73)
         sn = (p - sc).normalize()
-        # spherical uv; guard the pole where xz-length is 0
-        xz_len = jnp.sqrt(sn.x * sn.x + sn.z * sn.z)
-        safe = jnp.maximum(xz_len, 1e-20)
-        sphere_u = 0.5 - jnp.sign(sn.z) * jnp.arccos(
-            jnp.clip(sn.x / safe, -1.0, 1.0)
-        ) / (2.0 * jnp.pi)
-        sphere_v = 1.0 - jnp.arccos(jnp.clip(sn.y, -1.0, 1.0)) / jnp.pi
+        # spherical uv; guard the pole where xz-length is 0.  Floors sized
+        # so the backward pass (1/safe^2 etc.) stays finite in f32.
+        xz_len = jnp.sqrt(jnp.maximum(sn.x * sn.x + sn.z * sn.z, 1e-12))
+        safe = jnp.maximum(xz_len, 1e-6)
+        # clip strictly inside (-1, 1): acos' derivative is infinite at the
+        # poles and would turn masked-out cotangents into nan
+        acos_in = lambda x: jnp.arccos(jnp.clip(x, -1.0 + 1e-7, 1.0 - 1e-7))
+        sphere_u = 0.5 - jnp.sign(sn.z) * acos_in(sn.x / safe) / (2.0 * jnp.pi)
+        sphere_v = 1.0 - acos_in(sn.y) / jnp.pi
         is_s = hit.kind == KIND_SPHERE
         normal = where3(is_s, sn, normal)
         uv = where2(is_s, Vec2(sphere_u, sphere_v), uv)
@@ -252,9 +295,6 @@ def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
 
     if s.box_mat.shape[0]:
         # --- cuboid attributes (scene.rs:157-178)
-        bi = jnp.clip(hit.idx, 0, s.box_mat.shape[0] - 1)
-        bmn = Vec3(s.box_min_x[bi], s.box_min_y[bi], s.box_min_z[bi])
-        bmx = Vec3(s.box_max_x[bi], s.box_max_y[bi], s.box_max_z[bi])
         uvw = (p - bmn) / (bmx - bmn)
         eq = lambda a, b: jnp.abs(a - b) < EPS
         # priority chain: +y, -y, -x, +x, -z, then +z as the default

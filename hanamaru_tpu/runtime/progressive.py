@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -41,24 +42,53 @@ class RenderResult:
 
 
 def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
-    """Build the jitted one-pass accumulate step."""
+    """Build the one-pass accumulate step as a host-driven bounce loop.
+
+    The bounce loop runs on the host over a single jitted `bounce_step`
+    whose bounce index is a traced scalar: one small compiled program
+    serves all 9 bounces and all passes.  (A device-side lax.scan of the
+    same body compiles fine but executes pathologically slowly on the TPU
+    runtime here — ~10s/bounce vs 0.2ms for the step alone — so the loop
+    stays on the host; dispatches are async and overhead is microseconds.)
+    """
     nc = normalized_coords(cfg.width, cfg.height, cfg.supersampling)
     ss2 = cfg.rays_per_pixel_per_pass
 
-    def one_pass(arrays, acc: Vec3, key) -> Vec3:
-        rad = integrator.render_pass(
-            arrays, cs.camera, nc, key, cfg.num_bounces,
-            lens_shape=lens_shape, direct_light_mode=cfg.direct_light_mode,
+    @jax.jit
+    def raygen(arrays, key) -> integrator.PathState:
+        del arrays  # same signature family; scene unused for ray gen
+        n = nc.x.shape[0]
+        k_lens, _ = jax.random.split(key)
+        k1, k2 = jax.random.split(k_lens)
+        u1 = jax.random.uniform(k1, (n,), nc.x.dtype)
+        u2 = jax.random.uniform(k2, (n,), nc.x.dtype)
+        from ..ops.camera import ray_with_dof
+
+        o, d = ray_with_dof(cs.camera, nc, u1, u2, lens_shape)
+        return integrator.init_path_state(o, d)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def bounce(arrays, state, key, bounce_idx):
+        return integrator.bounce_step(
+            arrays, state, key, bounce_idx,
+            direct_light_mode=cfg.direct_light_mode,
         )
-        # sum the supersamples per pixel (renderer.rs:48-60)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def accumulate(rad: Vec3, acc: Vec3) -> Vec3:
         def pix(v):
             return v.reshape(-1, ss2).sum(axis=1)
 
-        return Vec3(
-            acc.x + pix(rad.x), acc.y + pix(rad.y), acc.z + pix(rad.z)
-        )
+        return Vec3(acc.x + pix(rad.x), acc.y + pix(rad.y), acc.z + pix(rad.z))
 
-    return jax.jit(one_pass, donate_argnums=(1,))
+    def one_pass(arrays, acc: Vec3, key) -> Vec3:
+        _, k_path = jax.random.split(key)
+        state = raygen(arrays, key)
+        for b in range(cfg.num_bounces):
+            state = bounce(arrays, state, k_path, b)
+        return accumulate(state.acc, acc)
+
+    return one_pass
 
 
 def _finalize_fn(cfg: RenderConfig):

@@ -133,6 +133,15 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, sort_key: np.ndarray) 
     sort_key: [N,3] per-primitive, per-axis ordering key (vertex-coordinate
     sum for triangles, aabb.min+aabb.max for whole elements — see module doc).
     """
+    import os
+
+    if os.environ.get("HANAMARU_NO_NATIVE") != "1":
+        from . import native
+
+        built = native.build_bvh(aabb_min, aabb_max, sort_key)
+        if built is not None:
+            return built
+
     n = len(aabb_min)
     if n == 0:
         return FlatBvh(

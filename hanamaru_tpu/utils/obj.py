@@ -21,6 +21,15 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _parse_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
+    import os
+
+    if os.environ.get("HANAMARU_NO_NATIVE") != "1":
+        from ..scene import native
+
+        parsed = native.parse_obj(path) if native.available() else None
+        if parsed is not None:
+            return parsed
+
     verts: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
     with open(path, "r") as f:

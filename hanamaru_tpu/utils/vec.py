@@ -71,7 +71,9 @@ class Vec3(NamedTuple):
         return jnp.sqrt(self.dot(self))
 
     def normalize(self) -> "Vec3":
-        return self * jax.lax.rsqrt(self.dot(self))
+        # the tiny floor keeps rsqrt finite for degenerate vectors so
+        # reverse-mode cotangents through masked-out lanes never see inf
+        return self * jax.lax.rsqrt(jnp.maximum(self.dot(self), 1e-20))
 
     def reflect(self, n: "Vec3") -> "Vec3":
         # reference semantics: v - 2*dot(v,n)*n (vector.rs:60-62)
@@ -83,7 +85,7 @@ class Vec3(NamedTuple):
         cos_i = self.dot(n)
         k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
         tir = k < 0.0
-        k_safe = jnp.maximum(k, 0.0)
+        k_safe = jnp.maximum(k, 1e-12)
         out = self * eta - n * (eta * cos_i + jnp.sqrt(k_safe))
         return where3(tir, zeros3_like(self.x), out)
 

@@ -1,0 +1,99 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hanamaru_tpu.diff import params as dp
+from hanamaru_tpu.ops import integrator
+from hanamaru_tpu.ops.camera import normalized_coords
+from hanamaru_tpu.parallel.mesh import make_mesh
+from hanamaru_tpu.parallel.render import render_pass_sharded, train_step_sharded
+from hanamaru_tpu.scene.compile import compile_scene
+from hanamaru_tpu.scene.desc import (
+    DIFFUSE,
+    CameraDesc,
+    CuboidDesc,
+    MaterialDesc,
+    SceneDesc,
+    SkyboxDesc,
+    SphereDesc,
+    TextureDesc,
+)
+from hanamaru_tpu.utils.vec import Vec3
+
+
+def _scene():
+    return SceneDesc(
+        camera=CameraDesc(eye=(0, 1, 5), target=(0, 0, 0)),
+        elements=[
+            CuboidDesc((-5, -1, -5), (5, 0, 5), MaterialDesc(DIFFUSE, albedo=TextureDesc.gray(0.5))),
+            SphereDesc((0, 1, 0), 0.5, MaterialDesc(DIFFUSE, albedo=TextureDesc.black(), emission=TextureDesc.gray(5.0))),
+        ],
+        skybox=SkyboxDesc(),
+    )
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_render_matches_single_device():
+    cs = compile_scene(_scene())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    mesh = make_mesh(8)
+    nc = normalized_coords(32, 16, 1)   # 512 rays, divisible by 8
+    key = jax.random.PRNGKey(0)
+
+    sharded = jax.jit(
+        lambda nc, k: render_pass_sharded(mesh, arrays, cs.camera, nc, k, 3)
+    )(nc, key)
+    jax.block_until_ready(sharded.x)
+    assert sharded.x.shape == nc.x.shape
+    v = np.asarray(sharded.stack())
+    assert np.all(np.isfinite(v)) and np.all(v >= 0) and v.mean() > 0
+
+    # per-device RNG decorrelation: shards are not identical copies
+    blocks = v.reshape(8, -1, 3)
+    assert not np.allclose(blocks[0], blocks[1])
+
+
+def test_sharded_train_step_updates_params_and_agrees_across_devices():
+    cs = compile_scene(_scene())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    params, rest = dp.split(arrays)
+    mesh = make_mesh(8)
+    nc = normalized_coords(16, 8, 2)
+    n = nc.x.shape[0]
+    target = Vec3(jnp.full((n,), 0.25), jnp.full((n,), 0.25), jnp.full((n,), 0.25))
+
+    step = jax.jit(
+        lambda p, nc, k, t: train_step_sharded(
+            mesh, p, rest, cs.camera, nc, k, t, num_bounces=3, lr=0.1
+        )
+    )
+    new_params, loss = step(params, nc, jax.random.PRNGKey(1), target)
+    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    moved = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(params))
+    )
+    assert moved > 0
+    # psum keeps replicated params consistent: loss strictly decreases over
+    # a few steps on a fittable target
+    losses = [float(loss)]
+    p = new_params
+    for i in range(3):
+        p, l = step(p, nc, jax.random.PRNGKey(1), target)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ge.dryrun_multichip(8)
