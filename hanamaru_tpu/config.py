@@ -69,6 +69,12 @@ class RenderConfig:
     # device precision ("float32" on TPU; CPU oracle tests may use float64)
     dtype: str = "float32"
 
+    # rays per device dispatch: a progressive pass is processed in chunks
+    # of at most this many rays (1M rays x ~15 arrays of f32 keeps the
+    # integrator's working set comfortably inside HBM per step; very large
+    # single-dispatch batches fault this TPU runtime)
+    max_rays_per_chunk: int = 1 << 20
+
     @property
     def rays_per_pixel_per_pass(self) -> int:
         return self.supersampling * self.supersampling

@@ -29,7 +29,7 @@ from ..ops import integrator
 from ..ops.camera import normalized_coords
 from ..ops.postprocess import finalize_image
 from ..scene.compile import CompiledScene
-from ..utils.vec import Vec3
+from ..utils.vec import Vec2, Vec3
 from .logio import Tee, save_png
 
 
@@ -51,12 +51,40 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
     runtime here — ~10s/bounce vs 0.2ms for the step alone — so the loop
     stays on the host; dispatches are async and overhead is microseconds.)
     """
-    nc = normalized_coords(cfg.width, cfg.height, cfg.supersampling)
     ss2 = cfg.rays_per_pixel_per_pass
+    n_rays = cfg.width * cfg.height * ss2
+
+    # A pass is processed in fixed-size ray chunks: bounds the integrator's
+    # per-dispatch working set (full-frame 1080p batches fault this TPU
+    # runtime) and is also the natural unit for multi-chip sharding.
+    chunk = min(cfg.max_rays_per_chunk, n_rays)
+    chunk -= chunk % ss2
+    num_chunks = -(-n_rays // chunk)
+    chunk_pixels = chunk // ss2
+    padded_pixels = num_chunks * chunk_pixels
+
+    # nc is passed as an *argument* (device-resident), never a closure
+    # constant: large constants embedded in the HLO make the remote TPU
+    # compile service pathologically slow
+    nc_full = normalized_coords(cfg.width, cfg.height, cfg.supersampling)
+    pad = num_chunks * chunk - n_rays
+    if pad:
+        nc_full = Vec2(
+            jnp.concatenate([nc_full.x, nc_full.x[-pad:]]),
+            jnp.concatenate([nc_full.y, nc_full.y[-pad:]]),
+        )
+    nc_chunks = [
+        jax.device_put(
+            Vec2(
+                nc_full.x[i * chunk : (i + 1) * chunk],
+                nc_full.y[i * chunk : (i + 1) * chunk],
+            )
+        )
+        for i in range(num_chunks)
+    ]
 
     @jax.jit
-    def raygen(arrays, key) -> integrator.PathState:
-        del arrays  # same signature family; scene unused for ray gen
+    def raygen(nc, key) -> integrator.PathState:
         n = nc.x.shape[0]
         k_lens, _ = jax.random.split(key)
         k1, k2 = jax.random.split(k_lens)
@@ -75,28 +103,36 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
         )
 
     @partial(jax.jit, donate_argnums=(1,))
-    def accumulate(rad: Vec3, acc: Vec3) -> Vec3:
-        def pix(v):
-            return v.reshape(-1, ss2).sum(axis=1)
+    def accumulate(rad: Vec3, acc: Vec3, offset) -> Vec3:
+        def upd(acc_c, rad_c):
+            pix = rad_c.reshape(-1, ss2).sum(axis=1)
+            cur = jax.lax.dynamic_slice(acc_c, (offset,), (chunk_pixels,))
+            return jax.lax.dynamic_update_slice(acc_c, cur + pix, (offset,))
 
-        return Vec3(acc.x + pix(rad.x), acc.y + pix(rad.y), acc.z + pix(rad.z))
+        return Vec3(upd(acc.x, rad.x), upd(acc.y, rad.y), upd(acc.z, rad.z))
 
     def one_pass(arrays, acc: Vec3, key) -> Vec3:
         _, k_path = jax.random.split(key)
-        state = raygen(arrays, key)
-        for b in range(cfg.num_bounces):
-            state = bounce(arrays, state, k_path, b)
-        return accumulate(state.acc, acc)
+        for ci in range(num_chunks):
+            # decorrelate the per-chunk random streams
+            k_chunk = jax.random.fold_in(k_path, ci)
+            state = raygen(nc_chunks[ci], jax.random.fold_in(key, ci))
+            for b in range(cfg.num_bounces):
+                state = bounce(arrays, state, k_chunk, b)
+            acc = accumulate(state.acc, acc, ci * chunk_pixels)
+        return acc
 
-    return one_pass
+    return one_pass, padded_pixels
 
 
 def _finalize_fn(cfg: RenderConfig):
+    n = cfg.width * cfg.height
+
     def fin(acc: Vec3, sampling):
         img = Vec3(
-            acc.x.reshape(cfg.height, cfg.width),
-            acc.y.reshape(cfg.height, cfg.width),
-            acc.z.reshape(cfg.height, cfg.width),
+            acc.x[:n].reshape(cfg.height, cfg.width),
+            acc.y[:n].reshape(cfg.height, cfg.width),
+            acc.z[:n].reshape(cfg.height, cfg.width),
         )
         return finalize_image(img, sampling, cfg)
 
@@ -117,12 +153,13 @@ class ProgressiveRenderer:
         self.out_dir = out_dir
         self.tee = tee or Tee(None)
         self.arrays = jax.tree.map(jnp.asarray, cs.arrays)
-        self._pass = _pass_fn(cs, cfg, lens_shape)
+        self._pass, padded_pixels = _pass_fn(cs, cfg, lens_shape)
         self._finalize = _finalize_fn(cfg)
-        n = cfg.width * cfg.height
         dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
         self.acc = Vec3(
-            jnp.zeros(n, dt), jnp.zeros(n, dt), jnp.zeros(n, dt)
+            jnp.zeros(padded_pixels, dt),
+            jnp.zeros(padded_pixels, dt),
+            jnp.zeros(padded_pixels, dt),
         )
         self.sampled = 0
         self._image_counter = 0
