@@ -54,27 +54,53 @@ def bilateral(img: Vec3, cfg: RenderConfig) -> Vec3:
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
 
+    def clamp_idx(idx, size):
+        if cfg.bilateral_reference_edge_bug:
+            # u32 underflow parity: out-of-range-low wraps huge and clamps
+            # to the opposite edge (filter.rs:43-44)
+            return jnp.where(idx < 0, size - 1, jnp.minimum(idx, size - 1))
+        return jnp.clip(idx, 0, size - 1)
+
+    def shift_axis(a, off, axis, size):
+        """a indexed at clamp(pos + off) along axis — as concatenated
+        slices (compiles to cheap copies; a 2M-index gather formulation
+        stalls the TPU compiler)."""
+        if off == 0:
+            return a
+        edge_lo = (
+            jax.lax.index_in_dim(a, size - 1, axis)  # bug mode wraps to max
+            if cfg.bilateral_reference_edge_bug
+            else jax.lax.index_in_dim(a, 0, axis)
+        )
+        edge_hi = jax.lax.index_in_dim(a, size - 1, axis)
+        if off < 0:
+            body = jax.lax.slice_in_dim(a, 0, size + off, axis=axis)
+            return jnp.concatenate([edge_lo] * (-off) + [body], axis=axis)
+        body = jax.lax.slice_in_dim(a, off, size, axis=axis)
+        return jnp.concatenate([body] + [edge_hi] * off, axis=axis)
+
+    def shift2(a, oy, ox):
+        return shift_axis(shift_axis(a, oy, 0, h), ox, 1, w)
+
     filtered = Vec3(
         jnp.zeros_like(img.x), jnp.zeros_like(img.x), jnp.zeros_like(img.x)
     )
     w_p = jnp.zeros_like(img.x)
     for i in range(d):
         for j in range(d):
-            nx = xs - (half - i)
-            ny = ys - (half - j)
-            if cfg.bilateral_reference_edge_bug:
-                nx = jnp.where(nx < 0, w - 1, jnp.minimum(nx, w - 1))
-                ny = jnp.where(ny < 0, h - 1, jnp.minimum(ny, h - 1))
-            else:
-                nx = jnp.clip(nx, 0, w - 1)
-                ny = jnp.clip(ny, 0, h - 1)
-            neighbor = Vec3(img.x[ny, nx], img.y[ny, nx], img.z[ny, nx])
+            ox = i - half
+            oy = j - half
+            neighbor = Vec3(
+                shift2(img.x, oy, ox), shift2(img.y, oy, ox), shift2(img.z, oy, ox)
+            )
             g_i = _gaussian(
                 sum_scale * (neighbor.sum() - cur_sum), cfg.bilateral_sigma_i
             )
-            dist = jnp.sqrt(
-                ((xs - nx) ** 2 + (ys - ny) ** 2).astype(img.x.dtype)
-            )
+            # spatial weight uses the *clamped* neighbor coordinates like
+            # the reference (filter.rs:49): distance shrinks at the edges
+            nx = clamp_idx(xs + ox, w)
+            ny = clamp_idx(ys + oy, h)
+            dist = jnp.sqrt(((xs - nx) ** 2 + (ys - ny) ** 2).astype(img.x.dtype))
             g_s = _gaussian(dist, cfg.bilateral_sigma_s)
             wgt = g_i * g_s
             filtered = filtered + neighbor * wgt

@@ -33,6 +33,22 @@ from ..utils.vec import Vec2, Vec3
 from .logio import Tee, save_png
 
 
+def fetch_image(img) -> np.ndarray:
+    """Device -> host copy of an [H,W,3] image in row blocks.
+
+    Large single transfers (>~4 MB) hang this environment's TPU relay;
+    block-wise fetches are reliable and just as fast."""
+    img = jax.block_until_ready(img)
+    h = img.shape[0]
+    row_bytes = max(1, int(np.prod(img.shape[1:]))) * img.dtype.itemsize
+    step = max(1, (1 << 20) // row_bytes)
+    if h <= step:
+        return np.asarray(img)
+    return np.concatenate(
+        [np.asarray(img[i : i + step]) for i in range(0, h, step)], axis=0
+    )
+
+
 @dataclass
 class RenderResult:
     image: np.ndarray          # [H,W,3] u8
@@ -168,9 +184,9 @@ class ProgressiveRenderer:
     def save_checkpoint(self, path: str) -> None:
         np.savez(
             path,
-            acc_x=np.asarray(self.acc.x),
-            acc_y=np.asarray(self.acc.y),
-            acc_z=np.asarray(self.acc.z),
+            acc_x=fetch_image(self.acc.x),
+            acc_y=fetch_image(self.acc.y),
+            acc_z=fetch_image(self.acc.z),
             sampled=self.sampled,
             seed=self.cfg.seed,
         )
@@ -232,7 +248,7 @@ class ProgressiveRenderer:
                 last_report_image = now
 
         seconds = time.monotonic() - begin
-        image = np.asarray(self._finalize(self.acc, self.sampled))
+        image = fetch_image(self._finalize(self.acc, self.sampled))
         save_png(os.path.join(self.out_dir, "result.png"), image)
         rays = total_rays
         return RenderResult(
@@ -250,7 +266,7 @@ class ProgressiveRenderer:
         else:
             self.tee(f"output progress image: {path}")
         t0 = time.monotonic()
-        image = np.asarray(self._finalize(self.acc, self.sampled))
+        image = fetch_image(self._finalize(self.acc, self.sampled))
         self.tee(f"update_imgbuf: {time.monotonic() - t0:.3f} sec")
         save_png(path, image)
         if not final:
@@ -282,7 +298,7 @@ def render_debug(
         return finalize_image(img, 1, cfg)
 
     t0 = time.monotonic()
-    image = np.asarray(run(arrays))
+    image = fetch_image(run(arrays))
     seconds = time.monotonic() - t0
     save_png(os.path.join(out_dir, "result.png"), image)
     rays = cfg.width * cfg.height * ss2

@@ -93,8 +93,9 @@ def test_scene_intersect_and_attributes():
     np.testing.assert_allclose(
         np.asarray(surf.normal.stack())[0], [0.0, 1.0, 0.0], atol=1e-5
     )
-    # sphere top uv.y -> 1 - acos(1)/pi = 1
-    np.testing.assert_allclose(surf.uv.y[0], 1.0, atol=1e-5)
+    # sphere top uv.y -> 1 - acos(1)/pi = 1 (up to the pole clip that keeps
+    # acos' gradient finite, intersect.py surface_attributes)
+    np.testing.assert_allclose(surf.uv.y[0], 1.0, atol=5e-4)
 
     # ray 1: hits the box front face (+z) at t=1
     assert int(hit.kind[1]) == KIND_CUBOID
