@@ -45,6 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--direct-light-mode", type=str, default="reference",
         choices=["reference", "nee_clamp"],
     )
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument(
+        "--profile-dir", type=str, default=None,
+        help="capture a jax.profiler trace of the render into this directory "
+        "(TPU-native replacement for the reference's wall-clock-only timing, "
+        "main.rs:1267-1277)",
+    )
     p.add_argument(
         "--platform", type=str, default=None,
         help="force a jax platform (e.g. cpu); the TPU plugin in this "
@@ -66,6 +76,10 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from ..parallel.distributed import initialize as dist_init
+
+    dist_init(args.coordinator, args.process_id, args.num_processes)
 
     from ..scene.compile import compile_scene
     from .logio import Tee
@@ -99,15 +113,24 @@ def main(argv=None) -> int:
     tee(f"init scene: {time.monotonic() - t0:.2f} sec.")
     tee(f"scene stats: {cs.stats}.")
 
+    import contextlib
+
+    profile_cm = (
+        jax.profiler.trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
     if args.debug:
-        result = render_debug(cs, cfg, mode=args.debug_mode, out_dir=args.out_dir, tee=tee)
+        with profile_cm:
+            result = render_debug(cs, cfg, mode=args.debug_mode, out_dir=args.out_dir, tee=tee)
     else:
         lens_shape = desc.camera.lens_shape
         r = ProgressiveRenderer(cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape)
         if args.resume:
             r.load_checkpoint(args.resume)
             tee(f"resumed from {args.resume} at sampling {r.sampled}.")
-        result = r.render()
+        with profile_cm:
+            result = r.render()
         if args.checkpoint:
             r.save_checkpoint(args.checkpoint)
             tee(f"checkpoint: {args.checkpoint}.")

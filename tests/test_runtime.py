@@ -1,0 +1,82 @@
+"""End-to-end runtime: CLI flags, result.txt log parity, snapshots,
+checkpoint/resume."""
+import os
+import re
+
+import numpy as np
+import pytest
+
+from hanamaru_tpu.runtime.cli import main
+
+
+pytestmark = pytest.mark.slow
+
+
+def _run(tmp_path, *extra):
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "-w", "48", "-h", "32", "-s", "2", "-t", "600", "-i", "9999",
+            "--scene", "material_examples", "--out-dir", str(out), *extra,
+        ]
+    )
+    assert rc == 0
+    return out
+
+
+def test_render_outputs_and_log(tmp_path):
+    out = _run(tmp_path)
+    # result.png + final numbered image + result.txt (main.rs:1217,
+    # renderer.rs:224, main.rs:47-51)
+    assert (out / "result.png").exists()
+    assert (out / "000.png").exists()
+    log = (out / "result.txt").read_text()
+    assert "resolution: 48x32." in log
+    assert "max sampling: 2x4 spp." in log
+    assert re.search(r"rendering: 1x4 sampled \(last \d", log)
+    assert re.search(r"rendering: 2x4 sampled", log)
+    assert "reached max sampling" in log
+    assert "sampled: 2x4 spp." in log
+    assert re.search(r"total .* used .* %", log)
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(out / "result.png"))
+    assert img.shape == (32, 48, 3)
+    assert img.mean() > 1.0  # not black
+
+
+def test_checkpoint_resume(tmp_path):
+    ck = str(tmp_path / "state.npz")
+    out1 = _run(tmp_path, "--checkpoint", ck)
+    assert os.path.exists(ck)
+    d = np.load(ck)
+    assert int(d["sampled"]) == 2
+
+    # resume and render 2 more passes; accumulation continues
+    out2 = tmp_path / "out2"
+    rc = main(
+        [
+            "-w", "48", "-h", "32", "-s", "4", "-t", "600", "-i", "9999",
+            "--scene", "material_examples", "--out-dir", str(out2),
+            "--resume", ck,
+        ]
+    )
+    assert rc == 0
+    log = (out2 / "result.txt").read_text()
+    assert "resumed from" in log
+    assert "sampled: 4x4 spp." in log
+
+
+def test_debug_mode_output(tmp_path):
+    out = tmp_path / "dbg"
+    rc = main(
+        [
+            "-d", "--debug-mode", "depth", "-w", "32", "-h", "24",
+            "--scene", "material_examples", "--out-dir", str(out),
+        ]
+    )
+    assert rc == 0
+    assert (out / "result.png").exists()
+    log = (out / "result.txt").read_text()
+    assert "sampled: 1x4 spp." in log
