@@ -31,6 +31,7 @@ KIND_NONE = 0
 KIND_SPHERE = 1
 KIND_CUBOID = 2
 KIND_TRIANGLE = 3
+KIND_PLANE = 4
 
 
 class Hit(NamedTuple):
@@ -201,6 +202,28 @@ def intersect_scene(s: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             0, s.sph_radius.shape[0], sph_body, (t, kind, idx)
         )
 
+    if s.pln_mat.shape[0]:
+
+        def pln_body(i, carry):
+            t, kind, idx = carry
+            n_p = Vec3(s.pln_nx[i], s.pln_ny[i], s.pln_nz[i])
+            c_p = Vec3(s.pln_cx[i], s.pln_cy[i], s.pln_cz[i])
+            # reference form (scene.rs:112-116): dd = -center.n;
+            # t = -(o.n + dd) / (d.n)
+            dd = -c_p.dot(n_p)
+            v = d.dot(n_p)
+            ti = -(o.dot(n_p) + dd) / jnp.where(v == 0.0, 1e-20, v)
+            closer = (ti > 0.0) & (ti < t)
+            return (
+                jnp.where(closer, ti, t),
+                jnp.where(closer, KIND_PLANE, kind),
+                jnp.where(closer, i, idx),
+            )
+
+        t, kind, idx = jax.lax.fori_loop(
+            0, s.pln_mat.shape[0], pln_body, (t, kind, idx)
+        )
+
     if s.box_mat.shape[0]:
 
         def box_body(i, carry):
@@ -261,6 +284,15 @@ def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
             _sphere_t(sc, s.sph_radius[si], o, d),
             t_diff,
         )
+    if s.pln_mat.shape[0]:
+        pi = jnp.clip(hit.idx, 0, s.pln_mat.shape[0] - 1)
+        pn = Vec3(s.pln_nx[pi], s.pln_ny[pi], s.pln_nz[pi])
+        pc = Vec3(s.pln_cx[pi], s.pln_cy[pi], s.pln_cz[pi])
+        dd = -pc.dot(pn)
+        v = d.dot(pn)
+        t_pln = -(o.dot(pn) + dd) / jnp.where(v == 0.0, 1e-20, v)
+        t_diff = jnp.where(hit.kind == KIND_PLANE, t_pln, t_diff)
+
     if s.box_mat.shape[0]:
         bi = jnp.clip(hit.idx, 0, s.box_mat.shape[0] - 1)
         bmn = Vec3(s.box_min_x[bi], s.box_min_y[bi], s.box_min_z[bi])
@@ -329,6 +361,15 @@ def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
         normal = where3(is_b, bn, normal)
         uv = where2(is_b, buv, uv)
         mat_id = jnp.where(is_b, s.box_mat[bi], mat_id)
+
+    if s.pln_mat.shape[0]:
+        # plane attributes (scene.rs:117-123): fixed normal, uv from the
+        # positive modulo of world x/z (math.rs:4-7; assumes +Y normal)
+        is_p = hit.kind == KIND_PLANE
+        modulo = lambda a: a - jnp.floor(a)
+        normal = where3(is_p, pn, normal)
+        uv = where2(is_p, Vec2(modulo(p.x), modulo(p.z)), uv)
+        mat_id = jnp.where(is_p, s.pln_mat[pi], mat_id)
 
     mat_id = jnp.where(hit.mask, mat_id, 0)
     return Surface(position=p, normal=normal, uv=uv, mat_id=mat_id)

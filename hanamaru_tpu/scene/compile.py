@@ -46,6 +46,15 @@ class SceneArrays(NamedTuple):
     sph_radius: np.ndarray
     sph_mat: np.ndarray        # i32 material id
 
+    # planes --------------------------------------------------------- [P]
+    pln_cx: np.ndarray
+    pln_cy: np.ndarray
+    pln_cz: np.ndarray
+    pln_nx: np.ndarray
+    pln_ny: np.ndarray
+    pln_nz: np.ndarray
+    pln_mat: np.ndarray
+
     # cuboids -------------------------------------------------------- [C]
     box_min_x: np.ndarray
     box_min_y: np.ndarray
@@ -226,6 +235,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
 
     # -- geometry ---------------------------------------------------------
     sph_c, sph_r, sph_m = [], [], []
+    pln_c, pln_n, pln_m = [], [], []
     box_mn, box_mx, box_m = [], [], []
     tri_v0, tri_v1, tri_v2, tri_m = [], [], [], []
     num_meshes = 0
@@ -234,6 +244,10 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
             sph_c.append(e.center)
             sph_r.append(e.radius)
             sph_m.append(mid)
+        elif isinstance(e, D.PlaneDesc):
+            pln_c.append(e.center)
+            pln_n.append(e.normal)
+            pln_m.append(mid)
         elif isinstance(e, D.CuboidDesc):
             box_mn.append(e.aabb_min)
             box_mx.append(e.aabb_max)
@@ -251,6 +265,9 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
     sph_c = np.asarray(sph_c, np.float64).reshape(-1, 3)
     sph_r = np.asarray(sph_r, np.float64).reshape(-1)
     sph_m = np.asarray(sph_m, np.int32).reshape(-1)
+    pln_c = np.asarray(pln_c, np.float64).reshape(-1, 3)
+    pln_n = np.asarray(pln_n, np.float64).reshape(-1, 3)
+    pln_m = np.asarray(pln_m, np.int32).reshape(-1)
     box_mn = np.asarray(box_mn, np.float64).reshape(-1, 3)
     box_mx = np.asarray(box_mx, np.float64).reshape(-1, 3)
     box_m = np.asarray(box_m, np.int32).reshape(-1)
@@ -309,6 +326,9 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
     arrays = SceneArrays(
         sph_cx=f(sph_c[:, 0]), sph_cy=f(sph_c[:, 1]), sph_cz=f(sph_c[:, 2]),
         sph_radius=f(sph_r), sph_mat=sph_m,
+        pln_cx=f(pln_c[:, 0]), pln_cy=f(pln_c[:, 1]), pln_cz=f(pln_c[:, 2]),
+        pln_nx=f(pln_n[:, 0]), pln_ny=f(pln_n[:, 1]), pln_nz=f(pln_n[:, 2]),
+        pln_mat=pln_m,
         box_min_x=f(box_mn[:, 0]), box_min_y=f(box_mn[:, 1]), box_min_z=f(box_mn[:, 2]),
         box_max_x=f(box_mx[:, 0]), box_max_y=f(box_mx[:, 1]), box_max_z=f(box_mx[:, 2]),
         box_mat=box_m,
@@ -346,6 +366,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
 
     stats = dict(
         num_spheres=len(sph_r),
+        num_planes=len(pln_m),
         num_cuboids=len(box_m),
         num_triangles=len(tm),
         num_bvh_nodes=len(bvh.hit_link),

@@ -81,6 +81,21 @@ class SphereDesc:
 
 
 @dataclasses.dataclass(frozen=True)
+class PlaneDesc:
+    """Infinite plane through `center` with `normal` (reference:
+    scene.rs:105-144; unused by the stock scenes but part of the
+    primitive set).  UV assumes a +Y normal like the reference."""
+
+    center: tuple[float, float, float]
+    normal: tuple[float, float, float]
+    material: MaterialDesc
+
+    def aabb(self) -> tuple[np.ndarray, np.ndarray]:
+        # dummy AABB like the reference (scene.rs:132-137)
+        return np.zeros(3), np.zeros(3)
+
+
+@dataclasses.dataclass(frozen=True)
 class CuboidDesc:
     aabb_min: tuple[float, float, float]
     aabb_max: tuple[float, float, float]
@@ -122,7 +137,7 @@ class MeshDesc:
         return verts.min(axis=0), verts.max(axis=0)
 
 
-ElementDesc = SphereDesc | CuboidDesc | MeshDesc
+ElementDesc = SphereDesc | PlaneDesc | CuboidDesc | MeshDesc
 
 
 @dataclasses.dataclass(frozen=True)

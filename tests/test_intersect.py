@@ -122,3 +122,32 @@ def test_cuboid_top_face_uv():
     )
     np.testing.assert_allclose(surf.uv.x[0], 0.75, atol=1e-4)
     np.testing.assert_allclose(surf.uv.y[0], 0.75, atol=1e-4)
+
+
+def test_plane_primitive():
+    """Plane hit/normal/uv semantics (scene.rs:105-144)."""
+    from hanamaru_tpu.scene.desc import PlaneDesc
+
+    scene = SceneDesc(
+        camera=CameraDesc(eye=(0, 2, 5), target=(0, 0, 0)),
+        elements=[
+            PlaneDesc((0.0, 0.5, 0.0), (0.0, 1.0, 0.0), MaterialDesc(DIFFUSE)),
+        ],
+        skybox=SkyboxDesc(),
+    )
+    cs = compile_scene(scene)
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    o = from_stacked(jnp.asarray([[1.25, 3.0, -0.5], [0.0, 3.0, 0.0]], jnp.float32))
+    d = from_stacked(jnp.asarray([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32))
+    hit = intersect_scene(arrays, o, d)
+    surf = surface_attributes(arrays, o, d, hit)
+    from hanamaru_tpu.ops.intersect import KIND_PLANE
+
+    assert int(hit.kind[0]) == KIND_PLANE
+    np.testing.assert_allclose(hit.t[0], 2.5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(surf.normal.stack())[0], [0, 1, 0], atol=1e-6)
+    # uv = positive modulo of world x/z (math.rs:4-7): x=1.25 -> .25, z=-0.5 -> .5
+    np.testing.assert_allclose(surf.uv.x[0], 0.25, atol=1e-5)
+    np.testing.assert_allclose(surf.uv.y[0], 0.5, atol=1e-5)
+    # ray 1 points away -> negative t is rejected
+    assert not bool(hit.mask[1])
