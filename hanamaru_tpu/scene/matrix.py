@@ -55,3 +55,15 @@ def transform_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """Apply an affine matrix to [N,3] points, with translation
     (reference: matrix.rs:180-190)."""
     return pts @ m[:3, :3].T + m[:3, 3]
+
+
+def inverse(m: np.ndarray) -> np.ndarray:
+    """4x4 inverse; identity for singular inputs like the reference's
+    Gauss-Jordan routine (matrix.rs:80-145)."""
+    try:
+        out = np.linalg.inv(np.asarray(m, np.float64))
+    except np.linalg.LinAlgError:
+        return identity()
+    if not np.all(np.isfinite(out)):
+        return identity()
+    return out
