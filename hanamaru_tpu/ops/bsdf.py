@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import OFFSET, PI, PI2
 from ..scene import desc as D
-from ..utils.vec import Vec3, orthonormal_basis, where3, zeros3_like
+from ..utils.vec import Vec3, orthonormal_basis, where3
 
 
 class BsdfSample(NamedTuple):

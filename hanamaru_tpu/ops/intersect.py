@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import EPS, INF
 from ..scene.bvh import LEAF_MAX
 from ..scene.compile import SceneArrays
-from ..utils.vec import Vec2, Vec3, det3, gather3, vec3, where2, where3
+from ..utils.vec import Vec2, Vec3, det3, where2, where3
 
 # prim kinds
 KIND_NONE = 0

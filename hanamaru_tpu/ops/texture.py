@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..config import GAMMA_FACTOR
 from ..scene.compile import SceneArrays
-from ..utils.vec import Vec2, Vec3, where2
+from ..utils.vec import Vec2, Vec3
 from ..utils.colors import gamma_to_linear
 from typing import NamedTuple
 

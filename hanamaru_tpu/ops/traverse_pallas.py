@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import INF
 from ..scene.bvh import LEAF_MAX
 
 # ray tile: 8 sublanes x 128 lanes

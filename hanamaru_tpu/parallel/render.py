@@ -12,11 +12,9 @@ TPU-native analogue the build plan calls for (SURVEY.md §5, §7.9).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..diff import params as dp

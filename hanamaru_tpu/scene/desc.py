@@ -8,7 +8,7 @@ element descriptions plus camera and skybox, which the scene compiler
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
