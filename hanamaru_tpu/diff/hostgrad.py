@@ -1,0 +1,109 @@
+"""Host-chained VJP through the bounce loop.
+
+jax.grad over the scan-based `trace` is the natural formulation, but this
+environment's TPU runtime faults on multi-iteration scans of the bounce
+body (CLAUDE.md).  This module differentiates the *host-looped* bounce
+chain instead: the forward pass stores each bounce's input state (device
+buffers), and the backward pass walks the chain in reverse with one small
+jitted VJP step per bounce — the same two compiled programs serve every
+bounce of every chunk, exactly like the forward renderer.
+
+Mathematically identical to jax.grad(trace) (verified against it on CPU in
+tests/test_hostgrad.py); memory is O(bounces) state copies per chunk,
+the usual no-remat scan cost.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..diff import params as dp
+from ..ops import integrator
+from ..ops.camera import ray_with_dof
+from ..scene.compile import CameraArrays, SceneArrays
+from ..utils.vec import Vec2, Vec3
+
+
+def _bounce_fn(params, rest: SceneArrays, state, key, bounce_idx, direct_light_mode):
+    return integrator.bounce_step(
+        dp.merge(params, rest), state, key, bounce_idx,
+        direct_light_mode=direct_light_mode,
+    )
+
+
+class HostGrad:
+    """Reusable jitted forward/backward bounce steps for a fixed scene
+    topology (rest) and config."""
+
+    def __init__(self, rest: SceneArrays, cam: CameraArrays,
+                 direct_light_mode: str = "reference", lens_shape: str = "circle"):
+        self.rest = rest
+        self.cam = cam
+
+        @jax.jit
+        def fwd(params, state, key, b):
+            return _bounce_fn(params, rest, state, key, b, direct_light_mode)
+
+        @jax.jit
+        def bwd(params, state, key, b, cot_state):
+            _, vjp_fn = jax.vjp(
+                lambda p, st: _bounce_fn(p, rest, st, key, b, direct_light_mode),
+                params, state,
+            )
+            return vjp_fn(cot_state)
+
+        @jax.jit
+        def raygen(nc: Vec2, key):
+            n = nc.x.shape[0]
+            k_lens, _ = jax.random.split(key)
+            k1, k2 = jax.random.split(k_lens)
+            u1 = jax.random.uniform(k1, (n,), nc.x.dtype)
+            u2 = jax.random.uniform(k2, (n,), nc.x.dtype)
+            o, d = ray_with_dof(cam, nc, u1, u2, lens_shape)
+            return integrator.init_path_state(o, d)
+
+        @jax.jit
+        def add(a, b):
+            return jax.tree.map(jnp.add, a, b)
+
+        self._fwd, self._bwd, self._raygen, self._add = fwd, bwd, raygen, add
+
+    def radiance(self, params, nc: Vec2, key, num_bounces: int) -> Vec3:
+        state = self._raygen(nc, key)
+        _, k_path = jax.random.split(key)
+        for b in range(num_bounces):
+            state = self._fwd(params, state, k_path, b)
+        return state.acc
+
+    def value_and_grad(self, params, nc: Vec2, key, num_bounces: int, loss_on_acc):
+        """loss_on_acc: jittable (acc Vec3) -> scalar.  Returns
+        (loss, dloss/dparams) with the backward chained on the host."""
+        # forward, retaining each bounce's input state
+        state = self._raygen(nc, key)
+        _, k_path = jax.random.split(key)
+        states = []
+        for b in range(num_bounces):
+            states.append(state)
+            state = self._fwd(params, state, k_path, b)
+
+        # seed the cotangent from the loss on the final accumulator
+        @jax.jit
+        def loss_and_cot(final_state):
+            loss, vjp_fn = jax.vjp(
+                lambda st: loss_on_acc(st.acc), final_state
+            )
+            (cot_state,) = vjp_fn(jnp.ones((), loss.dtype))
+            return loss, cot_state
+
+        loss, cot_state = loss_and_cot(state)
+
+        grads = None
+        for b in reversed(range(num_bounces)):
+            cot_params_b, cot_state = self._bwd(
+                params, states[b], k_path, b, cot_state
+            )
+            grads = cot_params_b if grads is None else self._add(grads, cot_params_b)
+        return loss, grads
