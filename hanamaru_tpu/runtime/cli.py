@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--direct-light-mode", type=str, default="reference",
         choices=["reference", "nee_clamp"],
     )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard rendering over all local devices (shard_map over the "
+        "ray axis; automatic when more than one device is visible)",
+    )
     p.add_argument("--coordinator", type=str, default=None,
                    help="jax.distributed coordinator address (multi-host)")
     p.add_argument("--process-id", type=int, default=None)
@@ -125,7 +130,15 @@ def main(argv=None) -> int:
             result = render_debug(cs, cfg, mode=args.debug_mode, out_dir=args.out_dir, tee=tee)
     else:
         lens_shape = desc.camera.lens_shape
-        r = ProgressiveRenderer(cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape)
+        mesh = None
+        if args.mesh or jax.device_count() > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            tee(f"mesh: {mesh.devices.size} devices over '{mesh.axis_names[0]}'.")
+        r = ProgressiveRenderer(
+            cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape, mesh=mesh
+        )
         if args.resume:
             r.load_checkpoint(args.resume)
             tee(f"resumed from {args.resume} at sampling {r.sampled}.")

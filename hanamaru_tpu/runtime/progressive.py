@@ -57,7 +57,9 @@ class RenderResult:
     rays_per_sec: float
 
 
-def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
+def _pass_fn(
+    cs: CompiledScene, cfg: RenderConfig, lens_shape: str, mesh=None
+):
     """Build the one-pass accumulate step as a host-driven bounce loop.
 
     The bounce loop runs on the host over a single jitted `bounce_step`
@@ -66,6 +68,13 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
     same body compiles fine but executes pathologically slowly on the TPU
     runtime here — ~10s/bounce vs 0.2ms for the step alone — so the loop
     stays on the host; dispatches are async and overhead is microseconds.)
+
+    With a `mesh`, every step is shard_mapped over the mesh's ray axis:
+    scene tables replicate, ray state shards, and the traversal loop runs
+    independently per chip (its termination test stays shard-local, which
+    a GSPMD-partitioned while_loop would turn into a per-iteration
+    all-reduce).  The framebuffer accumulator stays sharded; only
+    finalize gathers.
     """
     ss2 = cfg.rays_per_pixel_per_pass
     n_rays = cfg.width * cfg.height * ss2
@@ -73,8 +82,10 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
     # A pass is processed in fixed-size ray chunks: bounds the integrator's
     # per-dispatch working set (full-frame 1080p batches fault this TPU
     # runtime) and is also the natural unit for multi-chip sharding.
-    chunk = min(cfg.max_rays_per_chunk, n_rays)
-    chunk -= chunk % ss2
+    n_dev = 1 if mesh is None else mesh.devices.size
+    granule = ss2 * n_dev
+    chunk = max(min(cfg.max_rays_per_chunk, n_rays), granule)
+    chunk -= chunk % granule
     num_chunks = -(-n_rays // chunk)
     chunk_pixels = chunk // ss2
     padded_pixels = num_chunks * chunk_pixels
@@ -99,8 +110,7 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
         for i in range(num_chunks)
     ]
 
-    @jax.jit
-    def raygen(nc, key) -> integrator.PathState:
+    def raygen_fn(nc, key) -> integrator.PathState:
         n = nc.x.shape[0]
         k_lens, _ = jax.random.split(key)
         k1, k2 = jax.random.split(k_lens)
@@ -111,21 +121,80 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
         o, d = ray_with_dof(cs.camera, nc, u1, u2, lens_shape)
         return integrator.init_path_state(o, d)
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def bounce(arrays, state, key, bounce_idx):
+    def bounce_fn(arrays, state, key, bounce_idx):
         return integrator.bounce_step(
             arrays, state, key, bounce_idx,
             direct_light_mode=cfg.direct_light_mode,
         )
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def accumulate(rad: Vec3, acc: Vec3, offset) -> Vec3:
+    def accumulate_fn(rad: Vec3, acc: Vec3, chunk_idx) -> Vec3:
+        """acc is [num_chunks, chunk_pixels] (chunk-major rows); the pixel
+        axis shards across devices, so every device updates its own slice
+        of row `chunk_idx` locally."""
+
         def upd(acc_c, rad_c):
             pix = rad_c.reshape(-1, ss2).sum(axis=1)
-            cur = jax.lax.dynamic_slice(acc_c, (offset,), (chunk_pixels,))
-            return jax.lax.dynamic_update_slice(acc_c, cur + pix, (offset,))
+            row = jax.lax.dynamic_slice(
+                acc_c, (chunk_idx, 0), (1, pix.shape[0])
+            )
+            return jax.lax.dynamic_update_slice(
+                acc_c, row + pix[None, :], (chunk_idx, 0)
+            )
 
         return Vec3(upd(acc.x, rad.x), upd(acc.y, rad.y), upd(acc.z, rad.z))
+
+    if mesh is None:
+        raygen = jax.jit(raygen_fn)
+        bounce = jax.jit(bounce_fn, donate_argnums=(1,))
+        accumulate = jax.jit(accumulate_fn, donate_argnums=(1,))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import RAY_AXIS
+
+        ray_p = P(RAY_AXIS)
+        state_p = integrator.PathState(
+            o=Vec3(ray_p, ray_p, ray_p),
+            d=Vec3(ray_p, ray_p, ray_p),
+            acc=Vec3(ray_p, ray_p, ray_p),
+            refl=Vec3(ray_p, ray_p, ray_p),
+            alive=ray_p,
+        )
+
+        def raygen_shard(nc, key):
+            # decorrelate per-device lens streams
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            return raygen_fn(nc, key)
+
+        def bounce_shard(arrays, state, key, b):
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            return bounce_fn(arrays, state, key, b)
+
+        raygen = jax.jit(
+            jax.shard_map(
+                raygen_shard, mesh=mesh,
+                in_specs=(Vec2(ray_p, ray_p), P()), out_specs=state_p,
+                check_vma=False,
+            )
+        )
+        bounce = jax.jit(
+            jax.shard_map(
+                bounce_shard, mesh=mesh,
+                in_specs=(P(), state_p, P(), P()), out_specs=state_p,
+                check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
+        acc_p = P(None, RAY_AXIS)
+        accumulate = jax.jit(
+            jax.shard_map(
+                accumulate_fn, mesh=mesh,
+                in_specs=(Vec3(ray_p, ray_p, ray_p), Vec3(acc_p, acc_p, acc_p), P()),
+                out_specs=Vec3(acc_p, acc_p, acc_p),
+                check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
 
     def one_pass(arrays, acc: Vec3, key) -> Vec3:
         _, k_path = jax.random.split(key)
@@ -135,10 +204,10 @@ def _pass_fn(cs: CompiledScene, cfg: RenderConfig, lens_shape: str):
             state = raygen(nc_chunks[ci], jax.random.fold_in(key, ci))
             for b in range(cfg.num_bounces):
                 state = bounce(arrays, state, k_chunk, b)
-            acc = accumulate(state.acc, acc, ci * chunk_pixels)
+            acc = accumulate(state.acc, acc, ci)
         return acc
 
-    return one_pass, padded_pixels
+    return one_pass, (num_chunks, chunk_pixels)
 
 
 def _finalize_fn(cfg: RenderConfig):
@@ -146,9 +215,9 @@ def _finalize_fn(cfg: RenderConfig):
 
     def fin(acc: Vec3, sampling):
         img = Vec3(
-            acc.x[:n].reshape(cfg.height, cfg.width),
-            acc.y[:n].reshape(cfg.height, cfg.width),
-            acc.z[:n].reshape(cfg.height, cfg.width),
+            acc.x.reshape(-1)[:n].reshape(cfg.height, cfg.width),
+            acc.y.reshape(-1)[:n].reshape(cfg.height, cfg.width),
+            acc.z.reshape(-1)[:n].reshape(cfg.height, cfg.width),
         )
         return finalize_image(img, sampling, cfg)
 
@@ -163,22 +232,38 @@ class ProgressiveRenderer:
         out_dir: str = ".",
         tee: Optional[Tee] = None,
         lens_shape: str = "circle",
+        mesh=None,
     ) -> None:
         self.cs = cs
         self.cfg = cfg
         self.out_dir = out_dir
         self.tee = tee or Tee(None)
         self.arrays = jax.tree.map(jnp.asarray, cs.arrays)
-        self._pass, padded_pixels = _pass_fn(cs, cfg, lens_shape)
+        self._pass, acc_shape = _pass_fn(cs, cfg, lens_shape, mesh=mesh)
         self._finalize = _finalize_fn(cfg)
         dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
-        self.acc = Vec3(
-            jnp.zeros(padded_pixels, dt),
-            jnp.zeros(padded_pixels, dt),
-            jnp.zeros(padded_pixels, dt),
-        )
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import RAY_AXIS
+
+            sh = NamedSharding(mesh, P(None, RAY_AXIS))
+            mk = lambda: jax.device_put(jnp.zeros(acc_shape, dt), sh)
+        else:
+            mk = lambda: jnp.zeros(acc_shape, dt)
+        self.acc = Vec3(mk(), mk(), mk())
         self.sampled = 0
         self._image_counter = 0
+
+    def _gathered_acc(self) -> Vec3:
+        """Replicate the sharded accumulator for finalize (all-gather)."""
+        if self._mesh is None:
+            return self.acc
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self._mesh, P())
+        return Vec3(*(jax.device_put(c, rep) for c in self.acc))
 
     # -- checkpoint / resume ------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
@@ -248,7 +333,7 @@ class ProgressiveRenderer:
                 last_report_image = now
 
         seconds = time.monotonic() - begin
-        image = fetch_image(self._finalize(self.acc, self.sampled))
+        image = fetch_image(self._finalize(self._gathered_acc(), self.sampled))
         save_png(os.path.join(self.out_dir, "result.png"), image)
         rays = total_rays
         return RenderResult(
@@ -266,7 +351,7 @@ class ProgressiveRenderer:
         else:
             self.tee(f"output progress image: {path}")
         t0 = time.monotonic()
-        image = fetch_image(self._finalize(self.acc, self.sampled))
+        image = fetch_image(self._finalize(self._gathered_acc(), self.sampled))
         self.tee(f"update_imgbuf: {time.monotonic() - t0:.3f} sec")
         save_png(path, image)
         if not final:
