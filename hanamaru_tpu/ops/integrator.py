@@ -65,19 +65,32 @@ def next_event_estimation(
     albedo: Vec3,
     u1,
     u2,
+    active=None,
 ) -> Vec3:
     """Direct light at `origin` from every emissive sphere
     (renderer.rs:269-296).  One sample per light, shared randoms across
-    lights like the reference."""
+    lights like the reference.
+
+    Shadow rays cap the BVH walk at the sampled light point (`t_max`): any
+    hit beyond it lies farther from the light sample than the visibility
+    tolerance, so pruning cannot change the result.  `active` lanes that
+    are not NEE-eligible skip the walk entirely (their contribution is
+    masked out by the caller anyway)."""
     acc = zeros3_like(origin.x)
     num_lights = s.lt_radius.shape[0]
     for li in range(num_lights):
         lpos, lnormal, pdf = sample_light_surface(s, li, u1, u2)
         shadow_vec = lpos - origin
         dist2 = shadow_vec.dot(shadow_vec)
-        shadow_dir = shadow_vec * jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        shadow_dir = shadow_vec / dist
 
-        hit = intersect_scene(s, origin, shadow_dir)
+        # visibility tolerance is 4*OFFSET on |hit - lpos|, and lpos lies
+        # exactly on the shadow ray, so hits at t >= dist + 8*OFFSET can
+        # never pass the test — prune the walk there
+        hit = intersect_scene(
+            s, origin, shadow_dir, active=active, t_max=dist + 8.0 * OFFSET
+        )
         surf = surface_attributes(s, origin, shadow_dir, hit)
         # visibility: closest hit coincides with the sampled point
         # (renderer.rs:282, vector.rs:89-91 — tolerance 4*OFFSET)
@@ -135,7 +148,7 @@ def bounce_step(
     k_bsdf, k_nee = jax.random.split(kb)
     u1, u2 = _uniform_pair(k_bsdf, n, dtype)
 
-    hit = intersect_scene(s, state.o, state.d)
+    hit = intersect_scene(s, state.o, state.d, active=state.alive)
     surf = surface_attributes(s, state.o, state.d, hit)
     pm = point_material(s, surf.mat_id, surf.uv)
 
@@ -155,6 +168,7 @@ def bounce_step(
         nee = next_event_estimation(
             s, bs.origin, view, surf.normal,
             pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
+            active=nee_mask,
         )
         acc = acc + state.refl * nee * jnp.where(nee_mask, 1.0, 0.0)
 

@@ -118,7 +118,9 @@ class _TraverseState(NamedTuple):
     idx: jax.Array
 
 
-def _traverse_bvh(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Hit:
+def _traverse_bvh(
+    s: SceneArrays, o: Vec3, d: Vec3, hit: Hit, active=None
+) -> Hit:
     """Lockstep stackless traversal of the threaded BVH.
 
     Every live ray holds a node pointer; one loop iteration does the AABB
@@ -126,6 +128,11 @@ def _traverse_bvh(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Hit:
     hit/miss links.  This replaces the reference's per-ray recursion
     (bvh.rs:213-237) with a vector-machine loop: no stack, no divergence,
     only gathers.
+
+    `active=False` lanes never enter the walk (node starts at -1): the loop
+    runs only as long as the longest *live* ray, which matters in late
+    bounces where most lanes are dead but would otherwise re-walk their
+    final (often expensive, scene-missing) ray every remaining bounce.
     """
     num_tris = s.tri_v0x.shape[0]
     inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
@@ -162,12 +169,16 @@ def _traverse_bvh(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Hit:
         return _TraverseState(jnp.where(active, nxt, -1), t, kind, idx)
 
     zeros = jnp.zeros_like(hit.t, dtype=jnp.int32)
+    if active is not None:
+        zeros = jnp.where(active, zeros, -1)
     init = _TraverseState(zeros, hit.t, hit.kind, hit.idx)
     out = jax.lax.while_loop(cond, body, init)
     return Hit(out.t, out.kind, out.idx)
 
 
-def intersect_scene(s: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+def intersect_scene(
+    s: SceneArrays, o: Vec3, d: Vec3, active=None, t_max=None
+) -> Hit:
     """Closest hit over spheres + cuboids (brute force, few of them) and the
     global triangle BVH.
 
@@ -176,12 +187,22 @@ def intersect_scene(s: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     is not reverse-differentiable anyway.  `surface_attributes` recomputes
     the winner's distance differentiably, so gradients w.r.t. continuous
     inputs flow through the reconstructed hit point — the standard
-    detached-visibility formulation for differentiable path tracing."""
+    detached-visibility formulation for differentiable path tracing.
+
+    `active` (optional [N] bool) skips the BVH walk for dead lanes — pure
+    speedup, results for active lanes are unchanged.  `t_max` (optional [N])
+    rejects hits at t >= t_max and lets the traversal prune nodes beyond it;
+    shadow rays use it to cap the walk at the sampled light point."""
     s = jax.lax.stop_gradient(s)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     n = o.x.shape
-    t = jnp.full(n, INF, o.x.dtype)
+    if t_max is None:
+        t = jnp.full(n, INF, o.x.dtype)
+    else:
+        t = jnp.broadcast_to(
+            jax.lax.stop_gradient(t_max).astype(o.x.dtype), n
+        )
     kind = jnp.zeros(n, jnp.int32)
     idx = jnp.zeros(n, jnp.int32)
 
@@ -243,7 +264,9 @@ def intersect_scene(s: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             0, s.box_mat.shape[0], box_body, (t, kind, idx)
         )
 
-    return _traverse_bvh(s, o, d, Hit(t, kind, idx))
+    if active is not None:
+        active = jax.lax.stop_gradient(active)
+    return _traverse_bvh(s, o, d, Hit(t, kind, idx), active)
 
 
 class Surface(NamedTuple):

@@ -110,3 +110,46 @@ def test_traversal_matches_brute_force(rng):
         else:
             np.testing.assert_allclose(t_bvh[i], t_ref, rtol=2e-4, err_msg=f"ray {i}")
             assert hit.kind[i] == KIND_TRIANGLE
+
+
+def test_traversal_active_mask_and_t_max(rng):
+    """`active` lanes match the unmasked walk exactly; inactive lanes miss;
+    `t_max` rejects hits at/beyond it and keeps nearer hits identical."""
+    v0, v1, v2 = _random_tris(rng, t=120)
+    cs = _mesh_scene(v0, v1, v2)
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+
+    n_rays = 64
+    o = rng.uniform(-4, 4, (n_rays, 3))
+    d = rng.standard_normal((n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = from_stacked(jnp.asarray(o, jnp.float32))
+    dv = from_stacked(jnp.asarray(d, jnp.float32))
+
+    ref = jax.jit(intersect_scene)(arrays, ov, dv)
+    active = jnp.asarray(rng.uniform(size=n_rays) < 0.5)
+    masked = jax.jit(intersect_scene)(arrays, ov, dv, active=active)
+
+    act = np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(masked.t)[act], np.asarray(ref.t)[act])
+    np.testing.assert_array_equal(
+        np.asarray(masked.kind)[act], np.asarray(ref.kind)[act]
+    )
+    assert not np.asarray(masked.mask)[~act].any()
+
+    # t_max: cap every lane at 80% of its unmasked hit distance -> all the
+    # capped lanes miss; cap at 2x -> identical hits
+    t_ref = np.asarray(ref.t)
+    hits = np.asarray(ref.mask)
+    tight = jax.jit(intersect_scene)(
+        arrays, ov, dv, t_max=jnp.asarray(t_ref * 0.8, jnp.float32)
+    )
+    assert not np.asarray(tight.mask)[hits].any()
+    loose = jax.jit(intersect_scene)(
+        arrays, ov, dv,
+        t_max=jnp.asarray(np.where(hits, t_ref * 2.0, 1e6), jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(loose.t)[hits], t_ref[hits])
+    np.testing.assert_array_equal(
+        np.asarray(loose.kind)[hits], np.asarray(ref.kind)[hits]
+    )
