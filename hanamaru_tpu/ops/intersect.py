@@ -133,9 +133,22 @@ def _traverse_bvh(
     runs only as long as the longest *live* ray, which matters in late
     bounces where most lanes are dead but would otherwise re-walk their
     final (often expensive, scene-missing) ray every remaining bounce.
+
+    Links come from the per-direction-octant tables (scene/bvh.py
+    octant_links): each ray walks the SAME tree front-to-back for its
+    direction signs, so `t` shrinks early and the closest-hit pruning
+    culls far subtrees.  Results are bit-identical to the canonical-order
+    walk; only the visit order changes.
     """
     num_tris = s.tri_v0x.shape[0]
+    num_nodes = s.bvh_hit.shape[0]
     inv_d = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+    octant = (
+        (d.x < 0).astype(jnp.int32)
+        + 2 * (d.y < 0).astype(jnp.int32)
+        + 4 * (d.z < 0).astype(jnp.int32)
+    )
+    link_base = octant * num_nodes
 
     def cond(st: _TraverseState):
         return jnp.any(st.node >= 0)
@@ -165,7 +178,9 @@ def _traverse_bvh(
             kind = jnp.where(closer, KIND_TRIANGLE, kind)
             idx = jnp.where(closer, pid, idx)
 
-        nxt = jnp.where(aabb_hit, s.bvh_hit[n], s.bvh_miss[n])
+        nxt = jnp.where(
+            aabb_hit, s.bvh_hit8[link_base + n], s.bvh_miss8[link_base + n]
+        )
         return _TraverseState(jnp.where(active, nxt, -1), t, kind, idx)
 
     zeros = jnp.zeros_like(hit.t, dtype=jnp.int32)

@@ -164,3 +164,68 @@ def build_triangle_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> FlatBv
     aabb_max = np.maximum(np.maximum(v0, v1), v2)
     sort_key = v0 + v1 + v2   # bvh.rs:125-126 vertex-coordinate sum
     return build_bvh(aabb_min, aabb_max, sort_key)
+
+
+def octant_links(flat: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
+    """Per-direction-octant threaded links for front-to-back traversal.
+
+    The canonical hit/miss links visit children in build order, so the
+    closest-hit pruning in the traversal loop (intersect.py) rarely fires.
+    These [8, n] tables re-thread the SAME tree once per ray-direction
+    octant (bit k set = d[k] < 0) so that the *near* child — judged by the
+    node's split axis, recomputed exactly like the builder picks it — is
+    always visited first.  Traversal results are bit-identical (both
+    children are still visited whenever their AABB is hit); only the visit
+    order, and therefore how early t shrinks, changes.
+
+    Derivation needs no tree: in the canonical DFS layout, an inner node i
+    has left child i+1, and the left child's miss link (its escape) is the
+    right child's index.
+    """
+    import os
+
+    if os.environ.get("HANAMARU_NO_NATIVE") != "1":
+        from . import native
+
+        out = native.octant_links(flat)
+        if out is not None:
+            return out
+    return octant_links_py(flat)
+
+
+def octant_links_py(flat: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python reference implementation of `octant_links`."""
+    n = len(flat.hit_link)
+    hit_c = flat.hit_link
+    miss_c = flat.miss_link
+    count = flat.count
+    ext = flat.aabb_max - flat.aabb_min
+    # same strict-comparison longest-axis pick as the builder (z on ties)
+    axis = np.where(
+        (ext[:, 0] > ext[:, 1]) & (ext[:, 0] > ext[:, 2]),
+        0,
+        np.where((ext[:, 1] > ext[:, 0]) & (ext[:, 1] > ext[:, 2]), 1, 2),
+    ).astype(np.int32)
+    is_leaf = (count > 0) | (hit_c == -1)
+
+    hit8 = np.empty((8, n), np.int32)
+    miss8 = np.empty((8, n), np.int32)
+    for o in range(8):
+        neg = ((o >> axis) & 1).astype(bool)  # d negative along split axis
+        escape = np.full(n, -1, np.int32)     # escape[root] = -1
+        H = hit8[o]
+        M = miss8[o]
+        for i in range(n):
+            e = escape[i]
+            if is_leaf[i]:
+                H[i] = e
+                M[i] = e
+                continue
+            left = i + 1
+            right = miss_c[left]
+            near, far = (right, left) if neg[i] else (left, right)
+            H[i] = near
+            M[i] = e
+            escape[near] = far
+            escape[far] = e
+    return hit8, miss8

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.vec import Vec3
 from . import desc as D
-from .bvh import build_triangle_bvh
+from .bvh import build_triangle_bvh, octant_links
 
 # A ray that should never hit anything still needs valid gather targets.
 _FAR = 1e30
@@ -87,6 +87,10 @@ class SceneArrays(NamedTuple):
     bvh_miss: np.ndarray       # i32 next-node-on-miss
     bvh_first: np.ndarray      # i32 leaf first prim (or -1)
     bvh_count: np.ndarray      # i32 leaf prim count (or 0)
+    # per-direction-octant links, flattened [8*Nn]: front-to-back ordering
+    # so closest-hit pruning bites (see scene/bvh.py octant_links)
+    bvh_hit8: np.ndarray
+    bvh_miss8: np.ndarray
 
     # materials ------------------------------------------------------ [M]
     mat_surface: np.ndarray    # i32 surface code
@@ -287,6 +291,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
     bvh = build_triangle_bvh(v0, v1, v2)
     if len(bvh.order):
         v0, v1, v2, tm = v0[bvh.order], v1[bvh.order], v2[bvh.order], tm[bvh.order]
+    hit8, miss8 = octant_links(bvh)
 
     # -- skybox -----------------------------------------------------------
     sky_paths = scene.skybox.paths()
@@ -340,6 +345,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         bvh_max_x=f(bvh.aabb_max[:, 0]), bvh_max_y=f(bvh.aabb_max[:, 1]), bvh_max_z=f(bvh.aabb_max[:, 2]),
         bvh_hit=bvh.hit_link, bvh_miss=bvh.miss_link,
         bvh_first=bvh.first, bvh_count=bvh.count,
+        bvh_hit8=hit8.reshape(-1), bvh_miss8=miss8.reshape(-1),
         mat_surface=m_surface, mat_param=m_param,
         mat_albedo_r=f(alb_c[:, 0]), mat_albedo_g=f(alb_c[:, 1]), mat_albedo_b=f(alb_c[:, 2]),
         mat_albedo_tex=alb_t,

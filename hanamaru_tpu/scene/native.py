@@ -54,6 +54,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.bvh_depth.argtypes = [ctypes.c_void_p]
     lib.bvh_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
     lib.bvh_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "bvh_octant_links"):  # newer library builds only
+        lib.bvh_octant_links.argtypes = [ctypes.c_int64] + [ctypes.c_void_p] * 7
     _LIB = lib
     return lib
 
@@ -113,3 +115,25 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, sort_key: np.ndarray):
     depth = lib.bvh_depth(h)
     lib.bvh_free(h)
     return FlatBvh(mins, maxs, hit, miss, first, count, order, depth)
+
+
+def octant_links(flat) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Native per-octant re-threading; None if the library (or the newer
+    symbol) is absent — callers fall back to scene.bvh.octant_links_py."""
+    lib = load()
+    if lib is None or not hasattr(lib, "bvh_octant_links"):
+        return None
+    n = len(flat.hit_link)
+    mins = np.ascontiguousarray(flat.aabb_min, np.float32)
+    maxs = np.ascontiguousarray(flat.aabb_max, np.float32)
+    hit = np.ascontiguousarray(flat.hit_link, np.int32)
+    miss = np.ascontiguousarray(flat.miss_link, np.int32)
+    count = np.ascontiguousarray(flat.count, np.int32)
+    hit8 = np.empty((8, n), np.int32)
+    miss8 = np.empty((8, n), np.int32)
+    lib.bvh_octant_links(
+        n,
+        *(a.ctypes.data_as(ctypes.c_void_p)
+          for a in (mins, maxs, hit, miss, count, hit8, miss8)),
+    )
+    return hit8, miss8

@@ -191,4 +191,46 @@ void bvh_copy(void* h, float* mins, float* maxs, int32_t* hit, int32_t* miss,
 
 void bvh_free(void* h) { delete static_cast<Builder*>(h); }
 
+// ---------------------------------------------------------------------------
+// Per-direction-octant re-threading for front-to-back traversal (see
+// hanamaru_tpu/scene/bvh.py octant_links for the derivation: left child of
+// inner node i is i+1, right child is the left child's miss link).
+// Outputs are [8, n] row-major.
+// ---------------------------------------------------------------------------
+void bvh_octant_links(int64_t n, const float* mins, const float* maxs,
+                      const int32_t* hit, const int32_t* miss,
+                      const int32_t* count, int32_t* hit8, int32_t* miss8) {
+  std::vector<int32_t> escape(n);
+  for (int o = 0; o < 8; ++o) {
+    int32_t* H = hit8 + o * n;
+    int32_t* M = miss8 + o * n;
+    if (n > 0) escape[0] = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t e = escape[i];
+      const bool leaf = count[i] > 0 || hit[i] == -1;
+      if (leaf) {
+        H[i] = e;
+        M[i] = e;
+        continue;
+      }
+      const float ex = maxs[3 * i] - mins[3 * i];
+      const float ey = maxs[3 * i + 1] - mins[3 * i + 1];
+      const float ez = maxs[3 * i + 2] - mins[3 * i + 2];
+      int axis;  // strict comparisons, z on ties (matches the builder)
+      if (ex > ey && ex > ez) axis = 0;
+      else if (ey > ex && ey > ez) axis = 1;
+      else axis = 2;
+      const bool negd = (o >> axis) & 1;
+      const int32_t left = static_cast<int32_t>(i) + 1;
+      const int32_t right = miss[left];
+      const int32_t near_c = negd ? right : left;
+      const int32_t far_c = negd ? left : right;
+      H[i] = near_c;
+      M[i] = e;
+      escape[near_c] = far_c;
+      escape[far_c] = e;
+    }
+  }
+}
+
 }  // extern "C"

@@ -112,6 +112,68 @@ def test_traversal_matches_brute_force(rng):
             assert hit.kind[i] == KIND_TRIANGLE
 
 
+def test_octant_links_invariants(rng):
+    """Per-octant re-threading: octant 0 equals the canonical links, every
+    octant's always-hit walk is a DFS permutation of all nodes, and the
+    native implementation matches the Python one exactly."""
+    from hanamaru_tpu.scene import native
+    from hanamaru_tpu.scene.bvh import octant_links_py
+
+    v0, v1, v2 = _random_tris(rng, t=300)
+    bvh = build_triangle_bvh(v0, v1, v2)
+    hit8, miss8 = octant_links_py(bvh)
+
+    # octant 0 = all-positive directions = canonical left-first order
+    np.testing.assert_array_equal(hit8[0], bvh.hit_link)
+    np.testing.assert_array_equal(miss8[0], bvh.miss_link)
+
+    n = len(bvh.hit_link)
+    for o in range(8):
+        # an always-hit walk visits every node exactly once and terminates
+        seen = np.zeros(n, bool)
+        node = 0
+        while node >= 0:
+            assert not seen[node]
+            seen[node] = True
+            node = hit8[o][node]
+        assert seen.all()
+        # an always-miss walk from any inner child chain also terminates
+        assert miss8[o][0] == -1
+
+    nat = native.octant_links(bvh)
+    if nat is not None:
+        np.testing.assert_array_equal(hit8, nat[0])
+        np.testing.assert_array_equal(miss8, nat[1])
+
+
+def test_octant_traversal_order_independent(rng):
+    """Hits are identical no matter which octant table a ray uses: force
+    every ray through a wrong-octant table by flipping the stored octant
+    blocks and checking results stay the same (ordering is perf-only)."""
+    v0, v1, v2 = _random_tris(rng, t=150)
+    cs = _mesh_scene(v0, v1, v2)
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+
+    n_rays = 64
+    o = rng.uniform(-4, 4, (n_rays, 3))
+    d = rng.standard_normal((n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = from_stacked(jnp.asarray(o, jnp.float32))
+    dv = from_stacked(jnp.asarray(d, jnp.float32))
+
+    ref = jax.jit(intersect_scene)(arrays, ov, dv)
+
+    # reverse the octant blocks: every ray now walks in far-to-near order
+    nn = arrays.bvh_hit.shape[0]
+    flip = lambda a: jnp.flip(a.reshape(8, nn), axis=0).reshape(-1)
+    flipped = arrays._replace(
+        bvh_hit8=flip(arrays.bvh_hit8), bvh_miss8=flip(arrays.bvh_miss8)
+    )
+    alt = jax.jit(intersect_scene)(flipped, ov, dv)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(alt.t))
+    np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(alt.idx))
+
+
 def test_traversal_active_mask_and_t_max(rng):
     """`active` lanes match the unmasked walk exactly; inactive lanes miss;
     `t_max` rejects hits at/beyond it and keeps nearer hits identical."""
