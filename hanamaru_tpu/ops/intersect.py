@@ -73,6 +73,28 @@ def _slab_t(mn: Vec3, mx: Vec3, o: Vec3, inv_d: Vec3) -> tuple[jax.Array, jax.Ar
     return hit, jnp.where(tmin >= 0.0, tmin, tmax)
 
 
+def _slab_t_enter(
+    mn: Vec3, mx: Vec3, o: Vec3, inv_d: Vec3
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Slab test that also returns the conservative entry distance
+    max(tmin, 0) — a true lower bound on any hit inside the box, safe for
+    closest-hit pruning (unlike the reference-semantics distance)."""
+    t1 = (mn.x - o.x) * inv_d.x
+    t2 = (mx.x - o.x) * inv_d.x
+    t3 = (mn.y - o.y) * inv_d.y
+    t4 = (mx.y - o.y) * inv_d.y
+    t5 = (mn.z - o.z) * inv_d.z
+    t6 = (mx.z - o.z) * inv_d.z
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(t3, t4)), jnp.minimum(t5, t6)
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(t3, t4)), jnp.maximum(t5, t6)
+    )
+    hit = (tmin <= tmax) & (tmax >= 0.0)
+    return hit, jnp.where(tmin >= 0.0, tmin, tmax), jnp.maximum(tmin, 0.0)
+
+
 def _triangle_t(
     v0: Vec3, e1: Vec3, e2: Vec3, o: Vec3, d: Vec3
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -158,10 +180,13 @@ def _traverse_bvh(
         n = jnp.maximum(st.node, 0)
         mn = Vec3(s.bvh_min_x[n], s.bvh_min_y[n], s.bvh_min_z[n])
         mx = Vec3(s.bvh_max_x[n], s.bvh_max_y[n], s.bvh_max_z[n])
-        aabb_hit, aabb_t = _slab_t(mn, mx, o, inv_d)
+        aabb_hit, _, aabb_enter = _slab_t_enter(mn, mx, o, inv_d)
         # closest-hit pruning (pure speedup; the reference has none,
-        # bvh.rs:214 — results are identical)
-        aabb_hit = aabb_hit & (aabb_t <= st.t)
+        # bvh.rs:214 — results are identical).  Must use the ENTRY
+        # distance max(tmin, 0): for rays starting inside the box the
+        # reference-semantics distance (tmin-or-tmax) is the exit and
+        # would prune nodes that still hide closer hits.
+        aabb_hit = aabb_hit & (aabb_enter <= st.t)
 
         first = s.bvh_first[n]
         count = s.bvh_count[n]

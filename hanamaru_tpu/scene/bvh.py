@@ -166,6 +166,116 @@ def build_triangle_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> FlatBv
     return build_bvh(aabb_min, aabb_max, sort_key)
 
 
+# ---------------------------------------------------------------------------
+# Binned-SAH builder (quality path).  Same threaded flat output; hit results
+# are identical to the parity builder's by construction (the closest-hit
+# search is exact over any valid tree) — only traversal cost changes.
+# ---------------------------------------------------------------------------
+_SAH_BINS = 16
+
+
+def _half_area(mn, mx) -> float:
+    e = mx - mn
+    return float(e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+
+def _build_sah(indices: np.ndarray, amin, amax, cent) -> _Node:
+    mn = amin[indices].min(axis=0)
+    mx = amax[indices].max(axis=0)
+    n = len(indices)
+    if n <= 2:
+        return _Node(mn, mx, prims=indices)
+    c = cent[indices]
+    cmn = c.min(axis=0)
+    cmx = c.max(axis=0)
+    axis = int(np.argmax(cmx - cmn))
+    ext = float(cmx[axis] - cmn[axis])
+
+    def split_at(order, mid):
+        return _Node(
+            mn, mx,
+            left=_build_sah(order[:mid], amin, amax, cent),
+            right=_build_sah(order[mid:], amin, amax, cent),
+        )
+
+    if ext <= 0.0:
+        # coincident centroids: SAH cannot separate
+        if n <= LEAF_MAX:
+            return _Node(mn, mx, prims=indices)
+        return split_at(indices, n // 2)
+
+    inv = np.float32(_SAH_BINS) / np.float32(ext)
+    bins = np.clip(
+        ((c[:, axis] - cmn[axis]) * inv).astype(np.int32), 0, _SAH_BINS - 1
+    )
+    bc = np.bincount(bins, minlength=_SAH_BINS)
+    bin_mn = np.full((_SAH_BINS, 3), np.inf, np.float64)
+    bin_mx = np.full((_SAH_BINS, 3), -np.inf, np.float64)
+    for b in np.unique(bins):
+        sel = bins == b
+        bin_mn[b] = amin[indices[sel]].min(axis=0)
+        bin_mx[b] = amax[indices[sel]].max(axis=0)
+
+    # prefix/suffix bounds over bins -> SAH cost of every split k
+    l_mn = np.minimum.accumulate(bin_mn, axis=0)
+    l_mx = np.maximum.accumulate(bin_mx, axis=0)
+    r_mn = np.minimum.accumulate(bin_mn[::-1], axis=0)[::-1]
+    r_mx = np.maximum.accumulate(bin_mx[::-1], axis=0)[::-1]
+    l_cnt = np.cumsum(bc)
+    r_cnt = n - l_cnt
+    best_cost, best_k = np.inf, -1
+    for k in range(1, _SAH_BINS):
+        if l_cnt[k - 1] == 0 or r_cnt[k - 1] == 0:
+            continue
+        cost = l_cnt[k - 1] * _half_area(l_mn[k - 1], l_mx[k - 1]) + r_cnt[
+            k - 1
+        ] * _half_area(r_mn[k], r_mx[k])
+        if cost < best_cost:
+            best_cost, best_k = cost, k
+
+    if best_k < 0 or (n <= LEAF_MAX and best_cost >= n * _half_area(mn, mx)):
+        if n <= LEAF_MAX:
+            return _Node(mn, mx, prims=indices)
+        order = indices[np.argsort(c[:, axis], kind="stable")]
+        return split_at(order, n // 2)
+
+    near = bins < best_k
+    order = np.concatenate([indices[near], indices[~near]])
+    mid = int(near.sum())
+    if mid == 0 or mid == n:  # numeric edge guard
+        mid = n // 2
+    return split_at(order, mid)
+
+
+def build_bvh_sah(aabb_min: np.ndarray, aabb_max: np.ndarray) -> FlatBvh:
+    """Binned-SAH threaded BVH over N primitives (the quality/speed path;
+    `build_bvh` keeps the reference's median-split construction)."""
+    import os
+
+    if os.environ.get("HANAMARU_NO_NATIVE") != "1":
+        from . import native
+
+        built = native.build_bvh_sah(aabb_min, aabb_max)
+        if built is not None:
+            return built
+
+    n = len(aabb_min)
+    if n == 0:
+        return build_bvh(aabb_min, aabb_max, np.zeros((0, 3)))
+    amin = np.asarray(aabb_min, np.float32)
+    amax = np.asarray(aabb_max, np.float32)
+    cent = amin + amax
+    root = _build_sah(np.arange(n), amin, amax, cent)
+    return _flatten(root)
+
+
+def build_triangle_bvh_sah(v0, v1, v2) -> FlatBvh:
+    """SAH BVH over triangles given [T,3] vertex arrays."""
+    aabb_min = np.minimum(np.minimum(v0, v1), v2)
+    aabb_max = np.maximum(np.maximum(v0, v1), v2)
+    return build_bvh_sah(aabb_min, aabb_max)
+
+
 def octant_links(flat: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
     """Per-direction-octant threaded links for front-to-back traversal.
 
@@ -173,10 +283,11 @@ def octant_links(flat: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
     closest-hit pruning in the traversal loop (intersect.py) rarely fires.
     These [8, n] tables re-thread the SAME tree once per ray-direction
     octant (bit k set = d[k] < 0) so that the *near* child — judged by the
-    node's split axis, recomputed exactly like the builder picks it — is
-    always visited first.  Traversal results are bit-identical (both
-    children are still visited whenever their AABB is hit); only the visit
-    order, and therefore how early t shrinks, changes.
+    axis along which the two children's centroids separate most, which
+    works for any builder (median-split or SAH) — is always visited first.
+    Traversal results are bit-identical (both children are still visited
+    whenever their AABB is hit); only the visit order, and therefore how
+    early t shrinks, changes.
 
     Derivation needs no tree: in the canonical DFS layout, an inner node i
     has left child i+1, and the left child's miss link (its escape) is the
@@ -199,19 +310,22 @@ def octant_links_py(flat: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
     hit_c = flat.hit_link
     miss_c = flat.miss_link
     count = flat.count
-    ext = flat.aabb_max - flat.aabb_min
-    # same strict-comparison longest-axis pick as the builder (z on ties)
-    axis = np.where(
-        (ext[:, 0] > ext[:, 1]) & (ext[:, 0] > ext[:, 2]),
-        0,
-        np.where((ext[:, 1] > ext[:, 0]) & (ext[:, 1] > ext[:, 2]), 1, 2),
-    ).astype(np.int32)
     is_leaf = (count > 0) | (hit_c == -1)
+    centroid = flat.aabb_min + flat.aabb_max   # x2, only compared
+
+    # per inner node: children, separation axis, and whether the LEFT child
+    # is the near one for a positive ray direction along that axis
+    lefts = np.arange(1, n + 1, dtype=np.int32)
+    rights = np.where(lefts < n, miss_c[np.minimum(lefts, n - 1)], 0)
+    diff = centroid[np.minimum(rights, n - 1)] - centroid[np.minimum(lefts, n - 1)]
+    axis = np.argmax(np.abs(diff), axis=1).astype(np.int32)
+    left_is_near_pos = diff[np.arange(n), axis] >= 0.0
 
     hit8 = np.empty((8, n), np.int32)
     miss8 = np.empty((8, n), np.int32)
     for o in range(8):
-        neg = ((o >> axis) & 1).astype(bool)  # d negative along split axis
+        neg = ((o >> axis) & 1).astype(bool)  # d negative along sep axis
+        left_near = left_is_near_pos ^ neg
         escape = np.full(n, -1, np.int32)     # escape[root] = -1
         H = hit8[o]
         M = miss8[o]
@@ -223,7 +337,7 @@ def octant_links_py(flat: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
                 continue
             left = i + 1
             right = miss_c[left]
-            near, far = (right, left) if neg[i] else (left, right)
+            near, far = (left, right) if left_near[i] else (right, left)
             H[i] = near
             M[i] = e
             escape[near] = far

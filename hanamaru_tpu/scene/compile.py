@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.vec import Vec3
 from . import desc as D
-from .bvh import build_triangle_bvh, octant_links
+from .bvh import build_triangle_bvh, build_triangle_bvh_sah, octant_links
 
 # A ray that should never hit anything still needs valid gather targets.
 _FAR = 1e30
@@ -288,7 +288,14 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         v2 = np.full((1, 3), _FAR)
         tm = np.zeros((1,), np.int32)
 
-    bvh = build_triangle_bvh(v0, v1, v2)
+    # Default build is binned SAH (fewer node visits per ray); set
+    # HANAMARU_BVH=parity for the reference's median-split construction
+    # (bvh.rs:107-153).  Hit results are identical either way — the tree
+    # only decides traversal cost.
+    if os.environ.get("HANAMARU_BVH", "sah") == "parity":
+        bvh = build_triangle_bvh(v0, v1, v2)
+    else:
+        bvh = build_triangle_bvh_sah(v0, v1, v2)
     if len(bvh.order):
         v0, v1, v2, tm = v0[bvh.order], v1[bvh.order], v2[bvh.order], tm[bvh.order]
     hit8, miss8 = octant_links(bvh)

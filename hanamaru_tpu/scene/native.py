@@ -56,6 +56,17 @@ def load() -> Optional[ctypes.CDLL]:
     lib.bvh_free.argtypes = [ctypes.c_void_p]
     if hasattr(lib, "bvh_octant_links"):  # newer library builds only
         lib.bvh_octant_links.argtypes = [ctypes.c_int64] + [ctypes.c_void_p] * 7
+    if hasattr(lib, "bvh_build_sah"):
+        lib.bvh_build_sah.restype = ctypes.c_void_p
+        lib.bvh_build_sah.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.sah_num_nodes.restype = ctypes.c_int64
+        lib.sah_num_nodes.argtypes = [ctypes.c_void_p]
+        lib.sah_depth.restype = ctypes.c_int32
+        lib.sah_depth.argtypes = [ctypes.c_void_p]
+        lib.sah_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+        lib.sah_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -114,6 +125,39 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, sort_key: np.ndarray):
     )
     depth = lib.bvh_depth(h)
     lib.bvh_free(h)
+    return FlatBvh(mins, maxs, hit, miss, first, count, order, depth)
+
+
+def build_bvh_sah(aabb_min: np.ndarray, aabb_max: np.ndarray):
+    """Native binned-SAH build; None if the library/symbol is absent."""
+    lib = load()
+    if lib is None or not hasattr(lib, "bvh_build_sah"):
+        return None
+    from .bvh import FlatBvh
+
+    n = len(aabb_min)
+    amin = np.ascontiguousarray(aabb_min, np.float32)
+    amax = np.ascontiguousarray(aabb_max, np.float32)
+    h = lib.bvh_build_sah(
+        n,
+        amin.ctypes.data_as(ctypes.c_void_p),
+        amax.ctypes.data_as(ctypes.c_void_p),
+    )
+    nn = lib.sah_num_nodes(h)
+    mins = np.empty((nn, 3), np.float32)
+    maxs = np.empty((nn, 3), np.float32)
+    hit = np.empty((nn,), np.int32)
+    miss = np.empty((nn,), np.int32)
+    first = np.empty((nn,), np.int32)
+    count = np.empty((nn,), np.int32)
+    order = np.empty((n,), np.int32)
+    lib.sah_copy(
+        h,
+        *(a.ctypes.data_as(ctypes.c_void_p)
+          for a in (mins, maxs, hit, miss, first, count, order)),
+    )
+    depth = lib.sah_depth(h)
+    lib.sah_free(h)
     return FlatBvh(mins, maxs, hit, miss, first, count, order, depth)
 
 

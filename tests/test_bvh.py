@@ -112,10 +112,80 @@ def test_traversal_matches_brute_force(rng):
             assert hit.kind[i] == KIND_TRIANGLE
 
 
+def test_sah_build_hits_identical_to_parity(rng, monkeypatch):
+    """The SAH tree is a pure traversal-cost change: closest-hit distances
+    from an SAH-compiled scene equal the parity (median-split) build's
+    exactly, for both native and pure-Python builders."""
+    from hanamaru_tpu.scene.bvh import LEAF_MAX, build_bvh_sah
+
+    v0, v1, v2 = _random_tris(rng, t=250)
+    ts = {}
+    for builder in ("sah", "parity"):
+        monkeypatch.setenv("HANAMARU_BVH", builder)
+        cs = _mesh_scene(v0, v1, v2)
+        arrays = jax.tree.map(jnp.asarray, cs.arrays)
+        o = rng.uniform(-4, 4, (96, 3)) if builder == "sah" else ts["o"]
+        d = ts.get("d")
+        if d is None:
+            d = rng.standard_normal((96, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ts.setdefault("o", o)
+        ts.setdefault("d", d)
+        hit = jax.jit(intersect_scene)(
+            arrays,
+            from_stacked(jnp.asarray(o, jnp.float32)),
+            from_stacked(jnp.asarray(d, jnp.float32)),
+        )
+        ts[builder] = (np.asarray(hit.t), np.asarray(hit.kind))
+    np.testing.assert_array_equal(ts["sah"][0], ts["parity"][0])
+    np.testing.assert_array_equal(ts["sah"][1], ts["parity"][1])
+
+    # python-fallback SAH structure: valid leaves and full coverage
+    monkeypatch.setenv("HANAMARU_NO_NATIVE", "1")
+    amin = np.minimum(np.minimum(v0, v1), v2)
+    amax = np.maximum(np.maximum(v0, v1), v2)
+    bvh = build_bvh_sah(amin, amax)
+    leaf = bvh.count > 0
+    assert (bvh.count[leaf] <= LEAF_MAX).all()
+    assert sorted(bvh.order.tolist()) == list(range(len(v0)))
+
+
+def test_pruning_safe_for_rays_inside_boxes():
+    """Regression: closest-hit pruning must use the AABB ENTRY distance.
+    Rays originating inside BVH node boxes (entry < 0) used to be pruned by
+    the exit distance, hiding closer hits when t_max (or an earlier hit)
+    was tighter than the box exit.  Property: a t_max-capped walk equals
+    the uncapped walk with hits at t >= t_max dropped."""
+    r2 = np.random.RandomState(99)
+    v0, v1, v2 = _random_tris(r2, t=180, scale=1.5)
+    cs = _mesh_scene(v0, v1, v2)
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+
+    n_rays = 256
+    o = r2.uniform(-1.5, 1.5, (n_rays, 3))   # inside the triangle cloud
+    d = r2.standard_normal((n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = from_stacked(jnp.asarray(o, jnp.float32))
+    dv = from_stacked(jnp.asarray(d, jnp.float32))
+
+    ref = jax.jit(intersect_scene)(arrays, ov, dv)
+    t_ref = np.asarray(ref.t)
+    for cap in (0.3, 1.0, 3.0):
+        t_max = np.full(n_rays, cap, np.float32)
+        capped = jax.jit(intersect_scene)(
+            arrays, ov, dv, t_max=jnp.asarray(t_max)
+        )
+        want_hit = np.asarray(ref.mask) & (t_ref < t_max)
+        np.testing.assert_array_equal(np.asarray(capped.mask), want_hit)
+        np.testing.assert_array_equal(
+            np.asarray(capped.t)[want_hit], t_ref[want_hit]
+        )
+
+
 def test_octant_links_invariants(rng):
-    """Per-octant re-threading: octant 0 equals the canonical links, every
-    octant's always-hit walk is a DFS permutation of all nodes, and the
-    native implementation matches the Python one exactly."""
+    """Per-octant re-threading: every octant's always-hit walk is a DFS
+    permutation of all nodes, opposite octants reverse sibling order, and
+    the native implementation matches the Python one exactly."""
     from hanamaru_tpu.scene import native
     from hanamaru_tpu.scene.bvh import octant_links_py
 
@@ -123,9 +193,11 @@ def test_octant_links_invariants(rng):
     bvh = build_triangle_bvh(v0, v1, v2)
     hit8, miss8 = octant_links_py(bvh)
 
-    # octant 0 = all-positive directions = canonical left-first order
-    np.testing.assert_array_equal(hit8[0], bvh.hit_link)
-    np.testing.assert_array_equal(miss8[0], bvh.miss_link)
+    # opposite octants flip every sign bit, so each inner node's near child
+    # swaps: octant o's hit link differs from octant 7-o's exactly at inner
+    # nodes with two distinct children
+    inner = (bvh.count == 0) & (bvh.hit_link != -1)
+    assert (hit8[0][inner] != hit8[7][inner]).all()
 
     n = len(bvh.hit_link)
     for o in range(8):
