@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..config import OFFSET, PI, PI2
 from ..scene import desc as D
+from ..utils.scalars import saturate
 from ..utils.vec import Vec3, orthonormal_basis, where3
 
 
@@ -160,7 +161,7 @@ def sample(
     fres = f_schlick(v_dot_h, param)
     denom = h_dot_n * v_dot_n
     denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    ggx_w = fres * jnp.clip(g * v_dot_h / denom, 0.0, 1.0)
+    ggx_w = fres * saturate(g * v_dot_h / denom)  # material.rs:135 saturate
     ggx_valid = l_dot_n >= 0.0
 
     # GGXRefraction (material.rs:145-149): refraction through the GGX half

@@ -13,6 +13,14 @@ direct_light_mode="nee_clamp".
 Accumulation order per bounce matches renderer.rs:174-200 exactly:
 NEE first (with the pre-update throughput), then emission (masked out when
 the BSDF sample was invalid), then the throughput update, then termination.
+
+Documented RNG deviation: the reference draws ONE (f64,f64) pair per bounce
+and reuses it for both the BSDF sample and every light's NEE surface sample
+(renderer.rs:175,183); `bounce_step` draws a fresh pair per purpose
+(k_bsdf / k_nee splits below).  Same marginal distributions, slightly lower
+estimator correlation — images converge to the same limit, but individual
+low-spp frames are not bit-comparable.  Kept deliberately: key-splitting is
+the idiomatic (and statistically safer) counter-based-RNG formulation.
 """
 from __future__ import annotations
 

@@ -21,9 +21,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import EPS, INF
+from ..config import INF
 from ..scene.bvh import LEAF_MAX
 from ..scene.compile import SceneArrays
+from ..utils.scalars import equals_eps, modulo
 from ..utils.vec import Vec2, Vec3, det3, where2, where3
 
 # prim kinds
@@ -159,8 +160,10 @@ def _traverse_bvh(
     Links come from the per-direction-octant tables (scene/bvh.py
     octant_links): each ray walks the SAME tree front-to-back for its
     direction signs, so `t` shrinks early and the closest-hit pruning
-    culls far subtrees.  Results are bit-identical to the canonical-order
-    walk; only the visit order changes.
+    culls far subtrees.  The winning distance `t` is identical to the
+    canonical-order walk; on exact-distance ties between coincident
+    duplicate faces the strict `tj < t` comparison keeps the first-visited
+    triangle, so hit.idx/kind may differ by ray octant there.
     """
     num_tris = s.tri_v0x.shape[0]
     num_nodes = s.bvh_hit.shape[0]
@@ -391,7 +394,7 @@ def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
     if s.box_mat.shape[0]:
         # --- cuboid attributes (scene.rs:157-178)
         uvw = (p - bmn) / (bmx - bmn)
-        eq = lambda a, b: jnp.abs(a - b) < EPS
+        eq = equals_eps  # math.rs:21-23 face-id tolerance
         # priority chain: +y, -y, -x, +x, -z, then +z as the default
         conds = [
             eq(p.y, bmx.y),
@@ -429,9 +432,8 @@ def surface_attributes(s: SceneArrays, o: Vec3, d: Vec3, hit: Hit) -> Surface:
         # plane attributes (scene.rs:117-123): fixed normal, uv from the
         # positive modulo of world x/z (math.rs:4-7; assumes +Y normal)
         is_p = hit.kind == KIND_PLANE
-        modulo = lambda a: a - jnp.floor(a)
         normal = where3(is_p, pn, normal)
-        uv = where2(is_p, Vec2(modulo(p.x), modulo(p.z)), uv)
+        uv = where2(is_p, Vec2(modulo(p.x, 1.0), modulo(p.z, 1.0)), uv)
         mat_id = jnp.where(is_p, s.pln_mat[pi], mat_id)
 
     mat_id = jnp.where(hit.mask, mat_id, 0)

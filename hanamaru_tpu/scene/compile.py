@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.vec import Vec3
 from . import desc as D
-from .bvh import build_triangle_bvh, build_triangle_bvh_sah, octant_links
+from .bvh import LEAF_MAX, build_triangle_bvh, build_triangle_bvh_sah, octant_links
 
 # A ray that should never hit anything still needs valid gather targets.
 _FAR = 1e30
@@ -296,6 +296,12 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         bvh = build_triangle_bvh(v0, v1, v2)
     else:
         bvh = build_triangle_bvh_sah(v0, v1, v2)
+    # The traversal unrolls leaf tests LEAF_MAX times; a tree (from any
+    # builder, incl. the native library whose kLeafMax duplicates this
+    # constant) with larger leaves would silently drop hits — fail loudly.
+    assert int(bvh.count.max(initial=0)) <= LEAF_MAX, (
+        f"BVH leaf size {int(bvh.count.max())} exceeds LEAF_MAX={LEAF_MAX}"
+    )
     if len(bvh.order):
         v0, v1, v2, tm = v0[bvh.order], v1[bvh.order], v2[bvh.order], tm[bvh.order]
     hit8, miss8 = octant_links(bvh)

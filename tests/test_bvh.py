@@ -195,9 +195,19 @@ def test_octant_links_invariants(rng):
 
     # opposite octants flip every sign bit, so each inner node's near child
     # swaps: octant o's hit link differs from octant 7-o's exactly at inner
-    # nodes with two distinct children
+    # nodes whose two children have *separated* centroids (identical
+    # centroids give the same near child for opposite octants, so exclude
+    # them — possible with structured/grid geometry)
     inner = (bvh.count == 0) & (bvh.hit_link != -1)
-    assert (hit8[0][inner] != hit8[7][inner]).all()
+    n_nodes = len(bvh.hit_link)
+    centroid = bvh.aabb_min + bvh.aabb_max
+    lefts = np.minimum(np.arange(1, n_nodes + 1), n_nodes - 1)
+    rights = np.minimum(
+        np.where(np.arange(1, n_nodes + 1) < n_nodes, bvh.miss_link[lefts], 0),
+        n_nodes - 1,
+    )
+    sep = np.abs(centroid[rights] - centroid[lefts]).max(axis=1) > 0
+    assert (hit8[0][inner & sep] != hit8[7][inner & sep]).all()
 
     n = len(bvh.hit_link)
     for o in range(8):
