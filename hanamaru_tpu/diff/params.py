@@ -33,11 +33,29 @@ PARAM_FIELDS: tuple[str, ...] = (
     "sky_intensity",
 )
 
+# Sphere geometry doubles as light geometry: the NEE light list is an index
+# view into these tables (scene/compile.py lt_sph), so center/radius
+# gradients flow through the *continuous* NEE pathway (sample position,
+# 1/r^2 pdf, geometry term) and the differentiable hit-point
+# reconstruction.  What autodiff does NOT capture is the visibility
+# boundary term (silhouette shifts as the sphere moves) — hit selection is
+# detached in intersect_scene.  Opt in via split(..., light_geometry=True)
+# when that interior gradient is the quantity you want (e.g. moving a
+# light to brighten a region it already illuminates).
+LIGHT_GEOM_FIELDS: tuple[str, ...] = (
+    "sph_cx", "sph_cy", "sph_cz", "sph_radius",
+)
 
-def split(arrays: SceneArrays) -> tuple[dict[str, Any], SceneArrays]:
+
+def split(
+    arrays: SceneArrays, light_geometry: bool = False
+) -> tuple[dict[str, Any], SceneArrays]:
     """Returns (params dict, full arrays).  The arrays keep their values;
-    merge() overwrites the param fields."""
-    params = {f: getattr(arrays, f) for f in PARAM_FIELDS}
+    merge() overwrites the param fields.  With `light_geometry`, sphere
+    centers/radii (= light geometry, see LIGHT_GEOM_FIELDS) join the
+    differentiable set."""
+    fields = PARAM_FIELDS + (LIGHT_GEOM_FIELDS if light_geometry else ())
+    params = {f: getattr(arrays, f) for f in fields}
     return params, arrays
 
 

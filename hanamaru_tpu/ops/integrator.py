@@ -50,13 +50,19 @@ def sample_light_surface(
     s: SceneArrays, light_index: int, u1, u2
 ) -> tuple[Vec3, Vec3, jax.Array]:
     """Uniform point on emissive sphere `light_index`
-    (reference: scene.rs:92-101).  Returns (position, normal, pdf)."""
+    (reference: scene.rs:92-101).  Returns (position, normal, pdf).
+
+    Light center/radius are gathered from the sphere tables through the
+    `lt_sph` index view, so gradients of the NEE term w.r.t. light
+    position/radius flow to sph_* (the single source of truth; see
+    diff/params.py LIGHT_GEOM_FIELDS)."""
     theta = PI2 * u1
     unit_z = 1.0 - 2.0 * u2
     a = jnp.sqrt(jnp.maximum(1.0 - unit_z * unit_z, 0.0))
     normal = Vec3(a * jnp.cos(theta), a * jnp.sin(theta), unit_z)
-    center = Vec3(s.lt_cx[light_index], s.lt_cy[light_index], s.lt_cz[light_index])
-    radius = s.lt_radius[light_index]
+    si = s.lt_sph[light_index]
+    center = Vec3(s.sph_cx[si], s.sph_cy[si], s.sph_cz[si])
+    radius = s.sph_radius[si]
     position = center + normal * (radius + OFFSET)
     pdf = 1.0 / (4.0 * jnp.pi * radius * radius)
     return position, normal, pdf
@@ -85,7 +91,7 @@ def next_event_estimation(
     are not NEE-eligible skip the walk entirely (their contribution is
     masked out by the caller anyway)."""
     acc = zeros3_like(origin.x)
-    num_lights = s.lt_radius.shape[0]
+    num_lights = s.lt_sph.shape[0]
     for li in range(num_lights):
         lpos, lnormal, pdf = sample_light_surface(s, li, u1, u2)
         shadow_vec = lpos - origin
@@ -151,7 +157,7 @@ def bounce_step(
     lax.scan for end-to-end autodiff."""
     n = state.o.x.shape[0]
     dtype = state.o.x.dtype
-    use_nee = s.lt_radius.shape[0] > 0
+    use_nee = s.lt_sph.shape[0] > 0
     kb = jax.random.fold_in(key, bounce_idx)
     k_bsdf, k_nee = jax.random.split(kb)
     u1, u2 = _uniform_pair(k_bsdf, n, dtype)

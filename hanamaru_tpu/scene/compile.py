@@ -91,6 +91,11 @@ class SceneArrays(NamedTuple):
     # so closest-hit pruning bites (see scene/bvh.py octant_links)
     bvh_hit8: np.ndarray
     bvh_miss8: np.ndarray
+    # Pallas tile-uniform traversal tables (ops/traverse_pallas.py):
+    # leaf ordinal per node (-1 for inner) and packed per-leaf triangle
+    # rows [n_leaves, 128] (LEAF_MAX x 9 floats each)
+    bvh_leaf_row: np.ndarray
+    plf_rows: np.ndarray
 
     # materials ------------------------------------------------------ [M]
     mat_surface: np.ndarray    # i32 surface code
@@ -124,12 +129,12 @@ class SceneArrays(NamedTuple):
     sky_h: np.ndarray
     sky_intensity: Vec3        # scalars
 
-    # NEE light list: emissive spheres ------------------------------- [L]
-    lt_cx: np.ndarray
-    lt_cy: np.ndarray
-    lt_cz: np.ndarray
-    lt_radius: np.ndarray
-    lt_mat: np.ndarray
+    # NEE light list: indices of emissive spheres into the sph_* tables
+    # (scene.rs:356-358).  A *view*, not a copy: light center/radius are
+    # gathered from sph_* inside the traced integrator, so optimizing
+    # sphere geometry moves the light and its NEE term together, and
+    # light-parameter gradients flow through one source of truth. -- [L]
+    lt_sph: np.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -305,6 +310,11 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
     if len(bvh.order):
         v0, v1, v2, tm = v0[bvh.order], v1[bvh.order], v2[bvh.order], tm[bvh.order]
     hit8, miss8 = octant_links(bvh)
+    from ..ops.traverse_pallas import pack_leaf_rows
+
+    leaf_row, leaf_rows = pack_leaf_rows(
+        bvh.first, bvh.count, v0, v1 - v0, v2 - v0
+    )
 
     # -- skybox -----------------------------------------------------------
     sky_paths = scene.skybox.paths()
@@ -329,14 +339,14 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         sky_h = np.ones((6,), np.int32)
 
     # -- NEE lights: spheres with nonzero emission tint (scene.rs:356-358)
-    lt_idx = [
-        i
-        for i, (c, r, m) in enumerate(zip(sph_c, sph_r, sph_m))
-        if np.any(emi_c[m] != 0.0)
-    ]
-    lt_c = sph_c[lt_idx].reshape(-1, 3)
-    lt_r = sph_r[lt_idx].reshape(-1)
-    lt_m = sph_m[lt_idx].reshape(-1)
+    lt_idx = np.asarray(
+        [
+            i
+            for i, (c, r, m) in enumerate(zip(sph_c, sph_r, sph_m))
+            if np.any(emi_c[m] != 0.0)
+        ],
+        np.int32,
+    )
 
     tex_data, tex_w, tex_h = atlas.pack()
 
@@ -359,6 +369,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         bvh_hit=bvh.hit_link, bvh_miss=bvh.miss_link,
         bvh_first=bvh.first, bvh_count=bvh.count,
         bvh_hit8=hit8.reshape(-1), bvh_miss8=miss8.reshape(-1),
+        bvh_leaf_row=leaf_row, plf_rows=leaf_rows,
         mat_surface=m_surface, mat_param=m_param,
         mat_albedo_r=f(alb_c[:, 0]), mat_albedo_g=f(alb_c[:, 1]), mat_albedo_b=f(alb_c[:, 2]),
         mat_albedo_tex=alb_t,
@@ -379,8 +390,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
             dtype(scene.skybox.intensity[1]),
             dtype(scene.skybox.intensity[2]),
         ),
-        lt_cx=f(lt_c[:, 0]), lt_cy=f(lt_c[:, 1]), lt_cz=f(lt_c[:, 2]),
-        lt_radius=f(lt_r), lt_mat=lt_m,
+        lt_sph=lt_idx,
     )
 
     stats = dict(
@@ -392,7 +402,7 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         bvh_depth=bvh.depth,
         num_materials=len(mats),
         num_textures=len(atlas.paths),
-        num_lights=len(lt_r),
+        num_lights=len(lt_idx),
         num_meshes=num_meshes,
     )
     return CompiledScene(

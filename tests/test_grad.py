@@ -92,6 +92,113 @@ def test_grad_matches_finite_difference(field, index):
     np.testing.assert_allclose(got, fd, rtol=0.08, atol=3e-4)
 
 
+def _light_scene():
+    """Floor + one emissive sphere, light away from the ray cone so its
+    visibility never flips under small perturbations — the FD then sees
+    only the continuous NEE pathway that autodiff captures."""
+    return SceneDesc(
+        camera=CameraDesc(eye=(0, 1, 5), target=(0, 0, 0)),
+        elements=[
+            CuboidDesc((-20, -1, -20), (20, 0, 20), MaterialDesc(
+                DIFFUSE, albedo=T.const(0.6, 0.4, 0.2))),
+            SphereDesc((0, 3, 0), 0.3, MaterialDesc(
+                DIFFUSE, albedo=T.black(), emission=T.gray(15.0))),
+        ],
+        skybox=SkyboxDesc(),
+    )
+
+
+@pytest.mark.parametrize("field", ["sph_cx", "sph_cy", "sph_cz", "sph_radius"])
+def test_light_geometry_grad_matches_finite_difference(field):
+    """Light position/radius gradients flow through the *continuous* NEE
+    pathway via the lt_sph index view (VERDICT r1 item 7; reference:
+    scene.rs:92-101): sampled surface point, 1/(4 pi r^2) pdf, and the
+    geometry term.  The loss mirrors next_event_estimation WITHOUT the
+    visibility factor: sampled-point visibility is a step function of the
+    light params (near/far-hemisphere flips), a silhouette boundary term
+    that detached-visibility autodiff cannot capture by design — FD of the
+    full estimator measures continuous + boundary, so the apples-to-apples
+    check is against the continuous part only (see diff/params.py
+    LIGHT_GEOM_FIELDS)."""
+    from hanamaru_tpu.ops import bsdf
+
+    cs = compile_scene(_light_scene())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    params, rest = dp.split(arrays, light_geometry=True)
+    light_sph = int(cs.arrays.lt_sph[0])
+
+    n = 256
+    rng = np.random.RandomState(11)
+    # shading points on the floor, normals up, diffuse
+    px = rng.uniform(-3, 3, n).astype(np.float32)
+    pz = rng.uniform(-3, 3, n).astype(np.float32)
+    origin = from_stacked(jnp.asarray(np.stack([px, np.zeros(n, np.float32), pz], 1)))
+    up = from_stacked(jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)).astype(np.float32)))
+    view = from_stacked(jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)).astype(np.float32)))
+    u1 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+    u2 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+    surface = jnp.zeros((n,), jnp.int32)  # DIFFUSE code
+    param = jnp.zeros((n,), jnp.float32)
+    rough = jnp.zeros((n,), jnp.float32)
+
+    def loss(p):
+        arr = dp.merge(p, rest)
+        lpos, lnormal, pdf = integrator.sample_light_surface(arr, 0, u1, u2)
+        sv = lpos - origin
+        dist2 = sv.dot(sv)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        sd = sv / dist
+        geom = jnp.abs(up.dot(sd)) * jnp.abs(lnormal.dot(sd)) / dist2
+        f = bsdf.evaluate(surface, param, rough, view, up, sd)
+        # emission of the light's material through the mat tables
+        li = arr.lt_sph[0]
+        emission = arr.mat_emission_r[arr.sph_mat[li]]
+        return jnp.mean(emission * f * geom / pdf)
+
+    g = jax.grad(loss)(params)
+    got = np.asarray(g[field])[light_sph]
+    assert np.isfinite(got) and got != 0.0, "no light-geometry gradient"
+
+    eps = 2e-3
+    base = params[field]
+    f_up = loss({**params, field: base.at[light_sph].add(eps)})
+    f_dn = loss({**params, field: base.at[light_sph].add(-eps)})
+    fd = (f_up - f_dn) / (2 * eps)
+    np.testing.assert_allclose(got, fd, rtol=0.05, atol=1e-4)
+
+
+def test_light_geometry_grad_through_trace():
+    """End-to-end: jax.grad of a full trace() w.r.t. light sphere geometry
+    is finite and nonzero (the NEE term reaches sph_* through lt_sph), and
+    emission gradients still flow (a light can be both moved and
+    brightened from one parameter set)."""
+    cs = compile_scene(_light_scene())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    params, rest = dp.split(arrays, light_geometry=True)
+    light_sph = int(cs.arrays.lt_sph[0])
+
+    n = 256
+    rng = np.random.RandomState(11)
+    o = np.tile([[0.0, 1.5, 2.0]], (n, 1)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1]) - 0.8   # strictly downward: never hits the light
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov, dv = from_stacked(jnp.asarray(o)), from_stacked(jnp.asarray(d))
+
+    def loss(p):
+        arr = dp.merge(p, rest)
+        rad = integrator.trace(arr, ov, dv, jax.random.PRNGKey(5), 1)
+        return (rad.x + rad.y + rad.z).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
+    for field in ("sph_cx", "sph_cy", "sph_cz", "sph_radius"):
+        assert np.asarray(g[field])[light_sph] != 0.0, f"{field} grad vanished"
+    # brightening the light still reaches the image
+    mat = int(cs.arrays.sph_mat[light_sph])
+    assert np.asarray(g["mat_emission_r"])[mat] > 0.0
+
+
 def test_texture_texel_gradients():
     """Gradients flow into individual texels through the bilinear fetch."""
     from hanamaru_tpu import models
