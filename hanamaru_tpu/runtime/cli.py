@@ -38,7 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="debug renderer mode (reference default: FocalPlane, main.rs:1280)",
     )
     p.add_argument("--out-dir", type=str, default=".", help="output directory")
-    p.add_argument("--checkpoint", type=str, default=None, help="write renderer state here on finish")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="write renderer state here at every report interval "
+                   "and on finish (crash-safe resume point)")
     p.add_argument("--resume", type=str, default=None, help="resume renderer state from this checkpoint")
     p.add_argument("--seed", type=int, default=8700304)
     p.add_argument(
@@ -137,7 +139,8 @@ def main(argv=None) -> int:
             mesh = make_mesh()
             tee(f"mesh: {mesh.devices.size} devices over '{mesh.axis_names[0]}'.")
         r = ProgressiveRenderer(
-            cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape, mesh=mesh
+            cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape,
+            mesh=mesh, checkpoint_path=args.checkpoint,
         )
         if args.resume:
             r.load_checkpoint(args.resume)

@@ -233,7 +233,12 @@ class ProgressiveRenderer:
         tee: Optional[Tee] = None,
         lens_shape: str = "circle",
         mesh=None,
+        checkpoint_path: Optional[str] = None,
     ) -> None:
+        # with a checkpoint_path, renderer state is persisted at every
+        # snapshot interval (crash-safe: a killed render resumes from the
+        # last interval, not from zero) and on finish
+        self.checkpoint_path = checkpoint_path
         self.cs = cs
         self.cfg = cfg
         self.out_dir = out_dir
@@ -267,21 +272,37 @@ class ProgressiveRenderer:
 
     # -- checkpoint / resume ------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
+        """Atomic write (tmp + rename): a crash mid-write never corrupts
+        the previous checkpoint."""
+        tmp = path + ".tmp.npz"
         np.savez(
-            path,
+            tmp,
             acc_x=fetch_image(self.acc.x),
             acc_y=fetch_image(self.acc.y),
             acc_z=fetch_image(self.acc.z),
             sampled=self.sampled,
             seed=self.cfg.seed,
         )
+        os.replace(tmp, path)
 
     def load_checkpoint(self, path: str) -> None:
+        """Restore accumulator + pass counter.  Under a mesh the loaded
+        accumulator is re-placed with the renderer's ray-axis sharding
+        (a plain jnp.asarray would silently replicate it and every
+        donate-sharded pass would then re-layout)."""
         d = np.load(path)
         assert int(d["seed"]) == self.cfg.seed, "checkpoint seed mismatch"
-        self.acc = Vec3(
+        acc = Vec3(
             jnp.asarray(d["acc_x"]), jnp.asarray(d["acc_y"]), jnp.asarray(d["acc_z"])
         )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import RAY_AXIS
+
+            sh = NamedSharding(self._mesh, P(None, RAY_AXIS))
+            acc = Vec3(*(jax.device_put(c, sh) for c in acc))
+        self.acc = acc
         self.sampled = int(d["sampled"])
 
     # -- main loop ----------------------------------------------------------
@@ -330,6 +351,8 @@ class ProgressiveRenderer:
 
             if now - last_report_image >= cfg.report_interval_sec:
                 self._save_numbered(final=False, used=used)
+                if self.checkpoint_path:
+                    self.save_checkpoint(self.checkpoint_path)
                 last_report_image = now
 
         seconds = time.monotonic() - begin

@@ -68,6 +68,53 @@ def test_checkpoint_resume(tmp_path):
     assert "sampled: 4x4 spp." in log
 
 
+def test_crash_resume_from_periodic_checkpoint(tmp_path):
+    """Crash-safety: the renderer persists state at every report interval,
+    so a killed render resumes from the last interval and converges to the
+    exact image an uninterrupted run produces (VERDICT r1 item 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hanamaru_tpu import models
+    from hanamaru_tpu.config import RenderConfig
+    from hanamaru_tpu.runtime.progressive import ProgressiveRenderer
+    from hanamaru_tpu.scene.compile import compile_scene
+
+    cfg = RenderConfig(
+        width=48, height=32, sampling=3,
+        time_limit_sec=600.0, report_interval_sec=0.0,  # snapshot every pass
+    )
+    cs = compile_scene(models.build("material_examples"), models.asset_root())
+    ck = str(tmp_path / "crash.npz")
+
+    # "crashing" run: periodic checkpoints fire at passes 1 and 2; the
+    # final pass 3 is then lost when the process dies
+    a = ProgressiveRenderer(cs, cfg, out_dir=str(tmp_path / "a"),
+                            checkpoint_path=ck)
+    os.makedirs(tmp_path / "a", exist_ok=True)
+    a.render()
+    d = np.load(ck)
+    assert int(d["sampled"]) == 2, "periodic checkpoint missing pass 2"
+
+    # resume from the periodic checkpoint and finish
+    b = ProgressiveRenderer(cs, cfg, out_dir=str(tmp_path / "b"))
+    os.makedirs(tmp_path / "b", exist_ok=True)
+    b.load_checkpoint(ck)
+    assert b.sampled == 2
+    b.render()
+
+    # uninterrupted reference run
+    c = ProgressiveRenderer(cs, cfg, out_dir=str(tmp_path / "c"))
+    os.makedirs(tmp_path / "c", exist_ok=True)
+    c.render()
+
+    # per-pass RNG is keyed by absolute pass index, so resume must be
+    # bit-identical to never having crashed
+    np.testing.assert_array_equal(np.asarray(b.acc.x), np.asarray(c.acc.x))
+    np.testing.assert_array_equal(np.asarray(b.acc.y), np.asarray(c.acc.y))
+    np.testing.assert_array_equal(np.asarray(b.acc.z), np.asarray(c.acc.z))
+
+
 def test_debug_mode_output(tmp_path):
     out = tmp_path / "dbg"
     rc = main(

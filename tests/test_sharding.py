@@ -121,3 +121,38 @@ def test_progressive_renderer_on_mesh(tmp_path):
     assert img.mean() > 1.0
     # acc buffer is actually sharded over the mesh
     assert len(r.acc.x.sharding.device_set) == 8
+
+
+def test_checkpoint_load_restores_mesh_sharding(tmp_path):
+    """load_checkpoint must re-place the accumulator with the renderer's
+    ray-axis sharding, and a resumed mesh render must equal the
+    uninterrupted one (VERDICT r1 item 8: sharding-aware resume)."""
+    from hanamaru_tpu.config import RenderConfig
+    from hanamaru_tpu.runtime.progressive import ProgressiveRenderer
+    from hanamaru_tpu.scene.compile import compile_scene as cc
+
+    cs = cc(_scene())
+    mesh = make_mesh(8)
+    ck = str(tmp_path / "mesh_ck.npz")
+
+    cfg2 = RenderConfig(width=64, height=32, sampling=2, time_limit_sec=1e9,
+                        report_interval_sec=1e9, max_rays_per_chunk=4096)
+    a = ProgressiveRenderer(cs, cfg2, out_dir=str(tmp_path), mesh=mesh)
+    a.render()
+    a.save_checkpoint(ck)
+
+    import dataclasses
+
+    cfg4 = dataclasses.replace(cfg2, sampling=4)
+    b = ProgressiveRenderer(cs, cfg4, out_dir=str(tmp_path), mesh=mesh)
+    b.load_checkpoint(ck)
+    # the loaded accumulator is sharded like a fresh one (not replicated)
+    assert b.acc.x.sharding == a.acc.x.sharding
+    b.render()
+    assert b.sampled == 4
+
+    c = ProgressiveRenderer(cs, cfg4, out_dir=str(tmp_path), mesh=mesh)
+    c.render()
+    np.testing.assert_allclose(
+        np.asarray(b.acc.x), np.asarray(c.acc.x), rtol=1e-6
+    )
