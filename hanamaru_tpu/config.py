@@ -76,6 +76,16 @@ class RenderConfig:
     # multi-chip sharding.
     max_rays_per_chunk: int = 1 << 23
 
+    # stream compaction (SURVEY.md §7.5 hard part (d)): at this bounce the
+    # host loop partitions live rays to the front and continues the
+    # remaining bounces on a shorter prefix (one of chunk/2, chunk/4,
+    # chunk/8 — static shapes, so at most 3 extra compilations).  Randoms
+    # stay keyed by original lane id, so results are bit-identical to the
+    # dead-lane-masked loop.  None disables (single-chip only; the mesh
+    # path always uses dead-lane masking — per-device live counts diverge
+    # and SPMD needs one shape).  See docs/perf.md for measurements.
+    compact_from_bounce: int | None = None
+
     @property
     def rays_per_pixel_per_pass(self) -> int:
         return self.supersampling * self.supersampling

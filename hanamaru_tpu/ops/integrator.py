@@ -3,8 +3,9 @@
 The reference's per-pixel recursive radiance loop (reference:
 src/renderer.rs:163-203) becomes a fixed-depth `lax.scan` over bounces of a
 flat ray batch; terminated rays stay in their lanes behind an alive mask
-(dead-lane masking instead of stream compaction — measured to be the right
-trade at these depths).  Next-event estimation mirrors
+by default, with opt-in stream compaction between bounces
+(ops/compaction.py, cfg.compact_from_bounce; measurements in
+docs/perf.md).  Next-event estimation mirrors
 renderer.rs:269-296, including the *absence* of MIS: by default the BSDF
 continuation still accumulates emission at the next vertex, reproducing the
 reference's double-counted direct light (SURVEY.md §3.4) — disable with
@@ -38,11 +39,23 @@ from .intersect import intersect_scene, surface_attributes
 from .texture import point_emission, point_material, sample_skybox
 
 
-def _uniform_pair(key, n, dtype):
+def _uniform_pair(key, n, dtype, lane_ids=None, n_total=None):
+    """Two independent [n] uniform streams.
+
+    With `lane_ids`, lane j draws the value that *original* lane
+    lane_ids[j] of an n_total-wide batch would draw — the invariant that
+    makes stream compaction (ops/compaction.py) bit-identical to dead-lane
+    masking: a ray's randoms follow it, not its current vector position.
+    """
     k1, k2 = jax.random.split(key)
+    if lane_ids is None:
+        return (
+            jax.random.uniform(k1, (n,), dtype),
+            jax.random.uniform(k2, (n,), dtype),
+        )
     return (
-        jax.random.uniform(k1, (n,), dtype),
-        jax.random.uniform(k2, (n,), dtype),
+        jax.random.uniform(k1, (n_total,), dtype)[lane_ids],
+        jax.random.uniform(k2, (n_total,), dtype)[lane_ids],
     )
 
 
@@ -147,6 +160,8 @@ def bounce_step(
     key,
     bounce_idx,
     direct_light_mode: str = "reference",
+    lane_ids=None,
+    n_total: int | None = None,
 ) -> PathState:
     """One path vertex for the whole ray batch: intersect, shade, NEE,
     accumulate, advance (renderer.rs:174-200 body).
@@ -154,13 +169,18 @@ def bounce_step(
     `bounce_idx` is a traced scalar so a single compilation serves every
     bounce — the progressive runtime calls this once per bounce from the
     host (small program, compiled once) while `trace` wraps it in a
-    lax.scan for end-to-end autodiff."""
+    lax.scan for end-to-end autodiff.
+
+    `lane_ids`/`n_total`: when the batch is a compacted prefix
+    (ops/compaction.py), per-lane randoms are drawn as original lane
+    `lane_ids[j]` of the `n_total`-wide batch so compaction does not
+    change the image."""
     n = state.o.x.shape[0]
     dtype = state.o.x.dtype
     use_nee = s.lt_sph.shape[0] > 0
     kb = jax.random.fold_in(key, bounce_idx)
     k_bsdf, k_nee = jax.random.split(kb)
-    u1, u2 = _uniform_pair(k_bsdf, n, dtype)
+    u1, u2 = _uniform_pair(k_bsdf, n, dtype, lane_ids, n_total)
 
     hit = intersect_scene(s, state.o, state.d, active=state.alive)
     surf = surface_attributes(s, state.o, state.d, hit)
@@ -178,7 +198,7 @@ def bounce_step(
     acc = state.acc
     if use_nee:
         nee_mask = sample_ok & bsdf.nee_available(pm.surface)
-        n1, n2 = _uniform_pair(k_nee, n, dtype)
+        n1, n2 = _uniform_pair(k_nee, n, dtype, lane_ids, n_total)
         nee = next_event_estimation(
             s, bs.origin, view, surf.normal,
             pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["reference", "nee_clamp"],
     )
     p.add_argument(
+        "--compact-from-bounce", type=int, default=None,
+        help="stream-compact live rays from this bounce on (single-chip; "
+        "identical image, see ops/compaction.py)",
+    )
+    p.add_argument(
         "--mesh", action="store_true",
         help="shard rendering over all local devices (shard_map over the "
         "ray axis; automatic when more than one device is visible)",
@@ -100,6 +105,7 @@ def main(argv=None) -> int:
         report_interval_sec=args.interval,
         seed=args.seed,
         direct_light_mode=args.direct_light_mode,
+        compact_from_bounce=args.compact_from_bounce,
     )
     scene_name = args.scene or models.DEFAULT_SCENE
 

@@ -127,6 +127,13 @@ def _pass_fn(
             direct_light_mode=cfg.direct_light_mode,
         )
 
+    def bounce_compact_fn(arrays, state, key, bounce_idx, lane_ids):
+        return integrator.bounce_step(
+            arrays, state, key, bounce_idx,
+            direct_light_mode=cfg.direct_light_mode,
+            lane_ids=lane_ids, n_total=chunk,
+        )
+
     def accumulate_fn(rad: Vec3, acc: Vec3, chunk_idx) -> Vec3:
         """acc is [num_chunks, chunk_pixels] (chunk-major rows); the pixel
         axis shards across devices, so every device updates its own slice
@@ -146,8 +153,11 @@ def _pass_fn(
     if mesh is None:
         raygen = jax.jit(raygen_fn)
         bounce = jax.jit(bounce_fn, donate_argnums=(1,))
+        bounce_compact = jax.jit(bounce_compact_fn, donate_argnums=(1,))
         accumulate = jax.jit(accumulate_fn, donate_argnums=(1,))
     else:
+        bounce_compact = None  # mesh path never compacts (see one_pass)
+
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.mesh import RAY_AXIS
@@ -196,15 +206,40 @@ def _pass_fn(
             donate_argnums=(1,),
         )
 
+    # stream compaction (single-chip only; SPMD shards need one shape —
+    # per-device live counts diverge, so the mesh path keeps masking)
+    do_compact = cfg.compact_from_bounce is not None and mesh is None
+
     def one_pass(arrays, acc: Vec3, key) -> Vec3:
+        from ..ops import compaction
+
         _, k_path = jax.random.split(key)
         for ci in range(num_chunks):
             # decorrelate the per-chunk random streams
             k_chunk = jax.random.fold_in(k_path, ci)
             state = raygen(nc_chunks[ci], jax.random.fold_in(key, ci))
+            acc_bank = None
+            src = None
             for b in range(cfg.num_bounces):
-                state = bounce(arrays, state, k_chunk, b)
-            acc = accumulate(state.acc, acc, ci)
+                if do_compact and b == cfg.compact_from_bounce and src is None:
+                    # one scalar d2h sync per chunk: pick the bucket
+                    n_alive = int(compaction.count_alive(state.alive))
+                    if n_alive == 0:
+                        break  # nothing left to shade; acc is final
+                    m = compaction.pick_bucket(n_alive, chunk)
+                    if m is not None:
+                        acc_bank = state.acc
+                        state, src = compaction.compact_state(state, m)
+                if src is None:
+                    state = bounce(arrays, state, k_chunk, b)
+                else:
+                    state = bounce_compact(arrays, state, k_chunk, b, src)
+            rad = (
+                state.acc
+                if src is None
+                else compaction.scatter_acc(acc_bank, state.acc, src)
+            )
+            acc = accumulate(rad, acc, ci)
         return acc
 
     return one_pass, (num_chunks, chunk_pixels)
