@@ -28,6 +28,7 @@ from ..config import RenderConfig
 from ..ops import integrator
 from ..ops.camera import normalized_coords
 from ..ops.postprocess import finalize_image
+from ..parallel.distributed import agree_snapshot, agree_stop, is_primary
 from ..scene.compile import CompiledScene
 from ..utils.vec import Vec2, Vec3
 from .logio import Tee, save_png
@@ -210,11 +211,20 @@ def _pass_fn(
     # per-device live counts diverge, so the mesh path keeps masking)
     do_compact = cfg.compact_from_bounce is not None and mesh is None
 
+    # multi-host: this process renders only its stride of the chunk list
+    # (absolute chunk indices keep the RNG streams identical, so the union
+    # over processes equals the single-process render); the accumulator
+    # rows of foreign chunks stay zero and cross_process_sum unions them
+    # at snapshot/finalize (parallel/distributed.py)
+    from ..parallel.distributed import local_chunk_ids
+
+    chunk_ids = local_chunk_ids(num_chunks)
+
     def one_pass(arrays, acc: Vec3, key) -> Vec3:
         from ..ops import compaction
 
         _, k_path = jax.random.split(key)
-        for ci in range(num_chunks):
+        for ci in chunk_ids:
             # decorrelate the per-chunk random streams
             k_chunk = jax.random.fold_in(k_path, ci)
             state = raygen(nc_chunks[ci], jax.random.fold_in(key, ci))
@@ -297,18 +307,27 @@ class ProgressiveRenderer:
         self._image_counter = 0
 
     def _gathered_acc(self) -> Vec3:
-        """Replicate the sharded accumulator for finalize (all-gather)."""
-        if self._mesh is None:
-            return self.acc
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        """The full-frame accumulator: all-gather over the local mesh,
+        then union the disjoint per-process chunk rows over DCN
+        (collective — every process calls this together)."""
+        acc = self.acc
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rep = NamedSharding(self._mesh, P())
-        return Vec3(*(jax.device_put(c, rep) for c in self.acc))
+            rep = NamedSharding(self._mesh, P())
+            acc = Vec3(*(jax.device_put(c, rep) for c in acc))
+        if jax.process_count() > 1:
+            from ..parallel.distributed import cross_process_sum
+
+            acc = Vec3(*(cross_process_sum(c) for c in acc))
+        return acc
 
     # -- checkpoint / resume ------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
         """Atomic write (tmp + rename): a crash mid-write never corrupts
-        the previous checkpoint."""
+        the previous checkpoint.  Multi-process: each process saves its
+        own partial accumulator (give each host its own path) and must
+        resume with the same process count."""
         tmp = path + ".tmp.npz"
         np.savez(
             tmp,
@@ -352,6 +371,12 @@ class ProgressiveRenderer:
         total_rays = 0
         ss2 = cfg.rays_per_pixel_per_pass
         rays_per_pass = cfg.width * cfg.height * ss2
+        if jax.process_count() > 1:
+            # this process renders only its stride of the chunks
+            from ..parallel.distributed import local_chunk_ids
+
+            nch = self.acc.x.shape[0]
+            rays_per_pass = rays_per_pass * len(local_chunk_ids(nch)) // nch
 
         # NOTE: sampling is 1-origin like the reference (renderer.rs:31)
         while self.sampled < cfg.sampling:
@@ -373,8 +398,9 @@ class ProgressiveRenderer:
                 f"total: {used:.3f} sec ({used_percent:.2f} %)."
             )
 
-            # predictive time-limit stop (renderer.rs:217-226)
-            if used + last_pass_sec * 1.1 > cfg.time_limit_sec:
+            # predictive time-limit stop (renderer.rs:217-226); collective
+            # so hosts with drifting clocks stop on the same pass
+            if agree_stop(used + last_pass_sec * 1.1 > cfg.time_limit_sec):
                 tee("reached time limit")
                 self._save_numbered(final=True, used=used)
                 break
@@ -384,7 +410,9 @@ class ProgressiveRenderer:
                 self._save_numbered(final=True, used=used)
                 break
 
-            if now - last_report_image >= cfg.report_interval_sec:
+            if agree_snapshot(
+                now - last_report_image >= cfg.report_interval_sec
+            ):
                 self._save_numbered(final=False, used=used)
                 if self.checkpoint_path:
                     self.save_checkpoint(self.checkpoint_path)
@@ -392,7 +420,8 @@ class ProgressiveRenderer:
 
         seconds = time.monotonic() - begin
         image = fetch_image(self._finalize(self._gathered_acc(), self.sampled))
-        save_png(os.path.join(self.out_dir, "result.png"), image)
+        if is_primary():
+            save_png(os.path.join(self.out_dir, "result.png"), image)
         rays = total_rays
         return RenderResult(
             image=image,
@@ -411,7 +440,8 @@ class ProgressiveRenderer:
         t0 = time.monotonic()
         image = fetch_image(self._finalize(self._gathered_acc(), self.sampled))
         self.tee(f"update_imgbuf: {time.monotonic() - t0:.3f} sec")
-        save_png(path, image)
+        if is_primary():
+            save_png(path, image)
         if not final:
             self._image_counter += 1
 

@@ -100,8 +100,11 @@ def main() -> int:
     d_shd = Vec3(sd.x / sl, sd.y / sl, sd.z / sl)
     o_shd = hp
 
+    # NOTE: the scene is an *argument*, never a closure constant — large
+    # constants embedded in the HLO stall this environment's remote
+    # TPU compile service.
     @jax.jit
-    def xla_walk(o, d):
+    def xla_walk_s(s, o, d):
         t0 = jnp.full((n,), INF, jnp.float32)
         kind = jnp.zeros((n,), jnp.int32)
         idx = jnp.zeros((n,), jnp.int32)
@@ -110,10 +113,13 @@ def main() -> int:
         return jnp.where(idx >= 0, h.t, 0.0), idx
 
     @jax.jit
-    def pallas_walk(o, d):
+    def pallas_walk_s(s, o, d):
         t0 = jnp.full((n,), INF, jnp.float32)
         t, idx = traverse_scene_pallas(s, o, d, t0)
         return jnp.where(idx >= 0, t, 0.0), idx
+
+    xla_walk = lambda o, d: xla_walk_s(s, o, d)
+    pallas_walk = lambda o, d: pallas_walk_s(s, o, d)
 
     classes = [("primary", o_pri, d_pri), ("shadow", o_shd, d_shd),
                ("bounce", o_bnc, d_bnc)]
