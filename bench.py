@@ -1,17 +1,24 @@
 #!/usr/bin/env python
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Metric: primary rays/sec on the rtcamp6 default scene (rtcamp6_v3_1,
-main.rs:1273) at 1920x1080 with the reference's sampling config (2x2
-supersampling, 9-bounce paths, NEE, DoF, IBL) — the same workload as the
-reference's contest render.
+Headline metric (BASELINE.json): rays/s/chip forward+backward at 1080p on
+the rtcamp6 default scene (rtcamp6_v3_1, main.rs:1273) with the
+reference's sampling config (2x2 supersampling, 9-bounce paths, NEE, DoF,
+IBL).  One "ray" = one primary ray fully path-traced forward AND
+backpropagated to all differentiable scene parameters (diff/params.py)
+through the host-chained VJP (diff/hostgrad.py).  The forward-only rate is
+reported alongside (`fwd_rays_per_sec`) for continuity with round 1.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-the denominator is the *derived* rate implied by its rtcamp6 submission —
-1920*1080*1000 passes*4 spp in the 123 s regulation window
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+The denominator is the rate implied by its rtcamp6 submission —
+1920*1080*1000 passes*4 spp inside the 123 s regulation window
 (= 6.74e7 primary rays/s; `rtcamp6_1000x4spp.png` + main.rs:1253-1256).
-That almost certainly overstates the Rust CPU renderer, so vs_baseline
-here is a lower bound on the true speedup.
+If the submitted PNG was produced in-regulation this is what the Rust
+renderer *achieved* on the contest machine, i.e. an upper bound on its
+throughput, making vs_baseline a LOWER bound on the true speedup.  The
+local Rust measurement BASELINE.md asks for is impossible here (no cargo
+in the image); `note` states the >=1000x target status against this
+conservative denominator explicitly.
 """
 from __future__ import annotations
 
@@ -22,6 +29,9 @@ import time
 # reference-derived denominator (see module docstring)
 BASELINE_PRIMARY_RAYS_PER_SEC = 1920 * 1080 * 1000 * 4 / 123.0
 
+GRAD_CHUNK = 1 << 21   # rays per value_and_grad chunk (bounds HBM: ~9
+                       # retained PathStates + VJP residuals per chunk)
+
 
 def main() -> int:
     import jax
@@ -29,11 +39,22 @@ def main() -> int:
 
     from hanamaru_tpu import models
     from hanamaru_tpu.config import RenderConfig
+    from hanamaru_tpu.diff import params as dp
+    from hanamaru_tpu.diff.hostgrad import HostGrad
+    from hanamaru_tpu.ops.camera import normalized_coords
     from hanamaru_tpu.runtime.progressive import ProgressiveRenderer
-    from hanamaru_tpu.runtime.logio import Tee
     from hanamaru_tpu.scene.compile import compile_scene
+    from hanamaru_tpu.utils.vec import Vec2
 
+    # driver invocation is argument-less (full 1080p on the chip);
+    # --smoke WxH exists for cheap CPU plumbing checks
     width, height = 1920, 1080
+    if "--smoke" in sys.argv:
+        w_h = sys.argv[sys.argv.index("--smoke") + 1]
+        width, height = (int(v) for v in w_h.split("x"))
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     warmup_passes = 2
     timed_passes = 8
 
@@ -54,7 +75,7 @@ def main() -> int:
 
     r = ProgressiveRenderer(cs, cfg, out_dir="/tmp/bench_out", tee=_Quiet())
 
-    # warmup (compiles)
+    # ---- forward-only (round-1 continuity metric) -------------------------
     key = jax.random.PRNGKey(cfg.seed)
     for p in range(warmup_passes):
         r.acc = r._pass(r.arrays, r.acc, jax.random.fold_in(key, p))
@@ -64,18 +85,71 @@ def main() -> int:
     for p in range(timed_passes):
         r.acc = r._pass(r.arrays, r.acc, jax.random.fold_in(key, 100 + p))
     jax.block_until_ready(r.acc.x)
-    dt = time.monotonic() - t0
+    dt_fwd = time.monotonic() - t0
 
     rays_per_pass = width * height * cfg.rays_per_pixel_per_pass
-    rays_per_sec = rays_per_pass * timed_passes / dt
+    fwd_rays_per_sec = rays_per_pass * timed_passes / dt_fwd
+    print(f"# fwd: {fwd_rays_per_sec:.3e} rays/s", file=sys.stderr)
+
+    # ---- forward+backward (the BASELINE headline) --------------------------
+    params, rest = dp.split(r.arrays)
+    hg = HostGrad(rest, cs.camera,
+                  direct_light_mode=cfg.direct_light_mode,
+                  lens_shape=desc.camera.lens_shape)
+
+    nc_full = normalized_coords(width, height, cfg.supersampling)
+    n_rays = nc_full.x.shape[0]
+    chunks = []
+    for i in range(0, n_rays, GRAD_CHUNK):
+        sl = slice(i, min(i + GRAD_CHUNK, n_rays))
+        chunks.append(jax.device_put(Vec2(nc_full.x[sl], nc_full.y[sl])))
+
+    def loss_on_acc(acc):
+        return (acc.x + acc.y + acc.z).mean()
+
+    def one_grad_pass(seed_key):
+        total = None
+        for ci, nc in enumerate(chunks):
+            _, g = hg.value_and_grad(
+                params, nc, jax.random.fold_in(seed_key, ci),
+                cfg.num_bounces, loss_on_acc,
+            )
+            total = g if total is None else hg._add(total, g)
+        return total
+
+    # warmup / compile (fwd+bwd+loss programs; first TPU compile is slow)
+    g = one_grad_pass(jax.random.fold_in(key, 1000))
+    jax.block_until_ready(jax.tree.leaves(g)[0])
+
+    grad_passes = 2
+    t0 = time.monotonic()
+    for p in range(grad_passes):
+        g = one_grad_pass(jax.random.fold_in(key, 2000 + p))
+    jax.block_until_ready(jax.tree.leaves(g)[0])
+    dt_bwd = time.monotonic() - t0
+
+    fwdbwd_rays_per_sec = rays_per_pass * grad_passes / dt_bwd
+    vs = fwdbwd_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC
+    print(f"# fwd+bwd: {fwdbwd_rays_per_sec:.3e} rays/s", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "primary_rays_per_sec_1080p_rtcamp6_fwd",
-                "value": rays_per_sec,
+                "metric": "rays_per_sec_1080p_rtcamp6_fwd_bwd",
+                "value": fwdbwd_rays_per_sec,
                 "unit": "rays/s",
-                "vs_baseline": rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC,
+                "vs_baseline": vs,
+                "fwd_rays_per_sec": fwd_rays_per_sec,
+                "fwd_vs_baseline": fwd_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC,
+                "baseline_rays_per_sec": BASELINE_PRIMARY_RAYS_PER_SEC,
+                "note": (
+                    "denominator = rate implied by the reference's submitted "
+                    "rtcamp6 render (upper bound on the Rust CPU renderer; "
+                    "no cargo in this image to re-measure) -> vs_baseline is "
+                    "a lower bound. 1000x target "
+                    + ("MET" if vs >= 1000 else "NOT met")
+                    + " on fwd+bwd against that conservative denominator."
+                ),
             }
         )
     )

@@ -43,12 +43,15 @@ class HostGrad:
         self.rest = rest
         self.cam = cam
 
+        # the scene tables (`rest`) are jit *arguments*, not closure
+        # captures: captured arrays embed as HLO constants, which stalls
+        # this environment's remote TPU compile service (CLAUDE.md)
         @jax.jit
-        def fwd(params, state, key, b):
+        def fwd(params, rest, state, key, b):
             return _bounce_fn(params, rest, state, key, b, direct_light_mode)
 
         @jax.jit
-        def bwd(params, state, key, b, cot_state):
+        def bwd(params, rest, state, key, b, cot_state):
             _, vjp_fn = jax.vjp(
                 lambda p, st: _bounce_fn(p, rest, st, key, b, direct_light_mode),
                 params, state,
@@ -75,7 +78,7 @@ class HostGrad:
         state = self._raygen(nc, key)
         _, k_path = jax.random.split(key)
         for b in range(num_bounces):
-            state = self._fwd(params, state, k_path, b)
+            state = self._fwd(params, self.rest, state, k_path, b)
         return state.acc
 
     def value_and_grad(self, params, nc: Vec2, key, num_bounces: int, loss_on_acc):
@@ -87,7 +90,7 @@ class HostGrad:
         states = []
         for b in range(num_bounces):
             states.append(state)
-            state = self._fwd(params, state, k_path, b)
+            state = self._fwd(params, self.rest, state, k_path, b)
 
         # seed the cotangent from the loss on the final accumulator
         @jax.jit
@@ -103,7 +106,7 @@ class HostGrad:
         grads = None
         for b in reversed(range(num_bounces)):
             cot_params_b, cot_state = self._bwd(
-                params, states[b], k_path, b, cot_state
+                params, self.rest, states[b], k_path, b, cot_state
             )
             grads = cot_params_b if grads is None else self._add(grads, cot_params_b)
         return loss, grads
