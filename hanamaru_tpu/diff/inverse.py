@@ -19,7 +19,7 @@ from ..diff import params as dp
 from ..ops import integrator
 from ..ops.camera import normalized_coords
 from ..scene.compile import CompiledScene
-from ..utils.vec import Vec3
+from ..utils.vec import Vec2, Vec3
 
 
 @dataclass
@@ -50,9 +50,15 @@ def fit(
     seed: int = 0,
     param_filter: Optional[Callable[[str], bool]] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> FitResult:
     """Adam-fit the differentiable scene parameters to a target radiance
-    image rendered at (width, height) with supersampling off."""
+    image rendered at (width, height) with supersampling off.
+
+    With a `mesh`, rays and the target shard over the ray axis and the
+    per-shard gradients pmean over ICI inside a shard_map (parameters and
+    the Adam state stay replicated) — the multi-chip trainer BASELINE.json
+    config 5 calls for."""
     arrays = jax.tree.map(jnp.asarray, cs.arrays)
     _, rest = dp.split(arrays)
     nc = normalized_coords(width, height, 1)
@@ -65,7 +71,7 @@ def fit(
     opt = optax.adam(lr)
     opt_state = opt.init(train)
 
-    def loss_fn(train, key):
+    def loss_fn(train, rest, nc, key, target):
         """Unbiased squared-error surrogate for Monte-Carlo renders.
 
         A plain MSE of a 1-spp render against the target is biased: its
@@ -83,9 +89,38 @@ def fit(
         db = b - target
         return (da.x * db.x + da.y * db.y + da.z * db.z).mean()
 
+    if mesh is None:
+
+        def value_and_grad(train, rest, nc, key, target):
+            return jax.value_and_grad(loss_fn)(train, rest, nc, key, target)
+
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import RAY_AXIS
+
+        ray_p = P(RAY_AXIS)
+
+        def shard_fn(train, rest, nc_s, key, tgt_s):
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            loss, grads = jax.value_and_grad(loss_fn)(
+                train, rest, nc_s, key, tgt_s
+            )
+            loss = jax.lax.pmean(loss, RAY_AXIS)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, RAY_AXIS), grads)
+            return loss, grads
+
+        value_and_grad = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), Vec2(ray_p, ray_p), P(),
+                      Vec3(ray_p, ray_p, ray_p)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
     @jax.jit
-    def step(train, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_fn)(train, key)
+    def step(train, opt_state, rest, nc, key, target):
+        loss, grads = value_and_grad(train, rest, nc, key, target)
         updates, opt_state = opt.update(grads, opt_state)
         train = optax.apply_updates(train, updates)
         return train, opt_state, loss
@@ -93,7 +128,9 @@ def fit(
     losses = []
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
-        train, opt_state, loss = step(train, opt_state, jax.random.fold_in(key, i))
+        train, opt_state, loss = step(
+            train, opt_state, rest, nc, jax.random.fold_in(key, i), target
+        )
         losses.append(float(loss))
         if verbose and (i % 10 == 0 or i == steps - 1):
             print(f"step {i}: loss {losses[-1]:.6f}")

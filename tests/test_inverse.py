@@ -64,3 +64,29 @@ def test_recover_floor_albedo():
         float(res.params["mat_albedo_b"][0]),
     )
     np.testing.assert_allclose(got, (0.8, 0.3, 0.5), atol=0.1)
+
+
+def test_inverse_demo_tool(tmp_path):
+    """The flagship demo tool runs end-to-end at reduced scale on the
+    8-device CPU mesh (BASELINE.json config 5; VERDICT r1 item 6): loss
+    drops and the perturbed albedos move toward truth."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import inverse_demo
+
+    rc = inverse_demo.main([
+        "--width", "64", "--height", "40", "--steps", "25",
+        "--target-spp", "2", "--lr", "0.06",
+        "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    report = json.load(open(tmp_path / "report.json"))
+    losses = json.load(open(tmp_path / "loss_curve.json"))
+    assert losses[-1] < losses[0] * 0.7, losses
+    # the red diffuse ball must have turned red-ward: r channel above g/b
+    b0 = report["balls"]["ball0"]["recovered_albedo"]
+    assert b0[0] > b0[1] and b0[0] > b0[2], b0
+    for name in ("target.png", "initial.png", "recovered.png"):
+        assert (tmp_path / name).exists()

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Flagship inverse-rendering demo (BASELINE.json config 5).
+
+Recovers material parameters of the material_examples scene
+(reference: src/main.rs:139-249, the 5-BSDF ball lineup) from rendered
+pixels alone: the TRUE scene tints three balls and roughens the GGX ball;
+optimization starts from the published all-white scene and fits
+albedo + roughness by Adam on the paired-sample MC loss, with gradients
+flowing through the full wavefront path tracer (and pmean'd over a device
+mesh when one is available).
+
+Artifacts written to --out-dir:
+  target.png / initial.png / recovered.png   (gamma-2.2 previews)
+  loss_curve.json + loss_curve.png           (per-step loss)
+  report.json                                (true vs recovered values)
+
+CI runs this at reduced scale on the 8-device CPU mesh
+(tests/test_inverse.py::test_inverse_demo_tool); the committed artifacts
+in docs/inverse/ come from the full run (see docs/perf.md).
+
+Usage:
+  python tools/inverse_demo.py --platform cpu --cpu-mesh 8 \
+      --width 96 --height 54 --steps 60 --out-dir docs/inverse
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=270)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--lr", type=float, default=4e-2)
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--target-spp", type=int, default=16)
+    ap.add_argument("--num-bounces", type=int, default=4)
+    ap.add_argument("--out-dir", type=str, default="docs/inverse")
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--cpu-mesh", type=int, default=0,
+                    help="force N virtual CPU devices (set before jax import)")
+    ap.add_argument("--seed", type=int, default=7)
+    return ap
+
+
+# the perturbation the optimizer must undo: ball index -> (albedo, rough)
+TRUE_EDITS = {
+    0: ((0.85, 0.25, 0.25), None),     # diffuse ball -> red
+    1: ((0.25, 0.85, 0.30), 0.25),     # GGX ball -> green + rougher
+    4: ((0.30, 0.45, 0.90), None),     # GGX-refraction ball -> blue
+}
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.cpu_mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+            ).strip()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hanamaru_tpu import models
+    from hanamaru_tpu.diff import params as dp
+    from hanamaru_tpu.diff.inverse import fit, render_radiance
+    from hanamaru_tpu.parallel.mesh import make_mesh
+    from hanamaru_tpu.ops.camera import normalized_coords
+    from hanamaru_tpu.runtime.logio import save_png
+    from hanamaru_tpu.scene.compile import compile_scene
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    W, H = args.width, args.height
+
+    cs = compile_scene(models.build("material_examples"), models.asset_root())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    init_params, rest = dp.split(arrays)
+
+    # ball sphere i has material id sph_mat[i] (the lineup is elements 0-4)
+    ball_mat = [int(cs.arrays.sph_mat[i]) for i in range(5)]
+    true_params = dict(init_params)
+    for ball, (alb, rough) in TRUE_EDITS.items():
+        m = ball_mat[ball]
+        for c, fname in zip(alb, ("mat_albedo_r", "mat_albedo_g", "mat_albedo_b")):
+            true_params[fname] = true_params[fname].at[m].set(c)
+        if rough is not None:
+            for fname in ("mat_rough_r", "mat_rough_g", "mat_rough_b"):
+                true_params[fname] = true_params[fname].at[m].set(rough)
+
+    nc = normalized_coords(W, H, 1)
+    key = jax.random.PRNGKey(args.seed)
+
+    def preview(params, key, spp, path):
+        arr = dp.merge(params, rest)
+        rad = render_radiance(arr, cs.camera, nc, key, args.num_bounces, spp)
+        img = np.stack(
+            [np.asarray(c).reshape(H, W) for c in (rad.x, rad.y, rad.z)],
+            axis=-1,
+        )
+        u8 = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
+        save_png(path, u8)
+        return rad
+
+    target = preview(true_params, key, args.target_spp,
+                     os.path.join(args.out_dir, "target.png"))
+    preview(init_params, key, args.target_spp,
+            os.path.join(args.out_dir, "initial.png"))
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        print(f"# fitting on a {mesh.devices.size}-device mesh", file=sys.stderr)
+
+    wanted = ("mat_albedo_r", "mat_albedo_g", "mat_albedo_b",
+              "mat_rough_r", "mat_rough_g", "mat_rough_b")
+    result = fit(
+        cs, target, init_params, W, H,
+        steps=args.steps, lr=args.lr, num_bounces=args.num_bounces,
+        spp=args.spp, seed=args.seed,
+        param_filter=lambda name: name in wanted,
+        verbose=True, mesh=mesh,
+    )
+
+    preview(result.params, key, args.target_spp,
+            os.path.join(args.out_dir, "recovered.png"))
+
+    # report: true vs recovered for every perturbed channel
+    report = {"losses_first": result.losses[0], "losses_last": result.losses[-1],
+              "steps": args.steps, "resolution": f"{W}x{H}", "balls": {}}
+    for ball, (alb, rough) in TRUE_EDITS.items():
+        m = ball_mat[ball]
+        rec_alb = [float(np.asarray(result.params[f])[m])
+                   for f in ("mat_albedo_r", "mat_albedo_g", "mat_albedo_b")]
+        entry = {"true_albedo": list(alb), "recovered_albedo": rec_alb,
+                 "albedo_abs_err": float(np.abs(np.array(alb) - rec_alb).max())}
+        if rough is not None:
+            rec_r = float(np.asarray(result.params["mat_rough_r"])[m])
+            entry["true_roughness"] = rough
+            entry["recovered_roughness"] = rec_r
+            entry["roughness_abs_err"] = abs(rough - rec_r)
+        report["balls"][f"ball{ball}"] = entry
+
+    with open(os.path.join(args.out_dir, "loss_curve.json"), "w") as f:
+        json.dump(result.losses, f)
+    with open(os.path.join(args.out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 3.2), dpi=120)
+        ax.plot(result.losses, lw=1.2)
+        ax.set_yscale("log")
+        ax.set_xlabel("Adam step")
+        ax.set_ylabel("paired-sample loss")
+        ax.set_title(f"inverse rendering, material_examples {W}x{H}")
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out_dir, "loss_curve.png"))
+    except Exception as e:  # noqa: BLE001 — plot is a nicety
+        print(f"# no loss plot: {e}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
