@@ -1,38 +1,107 @@
-"""Golden-image comparison vs the reference's committed competition output
-(rtcamp6_1000x4spp.png).  Opt-in: a converged render takes minutes, so the
-check runs only when RUN_GOLDEN=1 (see tools/compare_golden.py for the
-standalone tool).
+"""Golden-image checks.
 
-Recorded result (2026-08-17, 12 passes @ 192x108 on CPU):
-  luminance_corr=0.906, mean_abs_err=0.036, rmse=0.065
+Three tiers (VERDICT r1 item 4):
+1. per-scene regression goldens — low-res renders compared against PNGs
+   committed in tests/golden/ (always on; catches any change to camera,
+   intersection, shading, NEE, tonemap or filter semantics);
+2. cheap structural parity vs the reference's committed competition
+   output (always on; downscaled luminance correlation);
+3. the converged multi-minute comparison (opt-in via RUN_GOLDEN=1; the
+   committed 1080p TPU artifact lives in docs/golden/, see docs/perf.md).
 """
 import json
 import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_GOLD = os.path.join(_REPO, "tests", "golden")
+
+pytestmark = pytest.mark.slow
+
+
+def _render(tmp_path, scene, w=96, h=54, s=4):
+    out = tmp_path / f"out_{scene}"
+    # goldens are single-device renders; the conftest's 8-virtual-device
+    # XLA_FLAGS would flip the CLI into mesh mode (different per-device
+    # RNG folding, hence a different image)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    subprocess.run(
+        [
+            sys.executable, "-m", "hanamaru_tpu",
+            "-w", str(w), "-h", str(h), "-s", str(s),
+            "-t", "100000", "-i", "99999",
+            "--platform", "cpu", "--scene", scene, "--out-dir", str(out),
+        ],
+        cwd=_REPO, check=True, timeout=870, env=env,
+    )
+    return out / "result.png"
+
+
+def _load(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float64) / 255.0
+
+
+@pytest.mark.parametrize("scene", ["material_examples", "rtcamp5", "tbf3"])
+def test_scene_matches_committed_golden(scene, tmp_path):
+    """Deterministic seed + deterministic XLA CPU => the render must stay
+    extremely close to the committed golden; drift means semantics
+    changed (tolerances leave room for benign cross-version float
+    reassociation, nothing more)."""
+    ours = _load(_render(tmp_path, scene))
+    gold = _load(os.path.join(_GOLD, f"{scene}_96x54_s4.png"))
+    diff = np.abs(ours - gold)
+    assert diff.mean() < 0.01, f"mean abs diff {diff.mean():.4f}"
+    assert (diff < 0.1).mean() > 0.995, "too many strongly-changed pixels"
+
+
+def test_rtcamp6_structure_vs_reference(tmp_path):
+    """Always-on structural parity against the reference's submitted
+    render (rtcamp6_1000x4spp.png): even a 4-pass 96x54 render of a
+    correct implementation correlates strongly after box-downscale."""
+    png = _render(tmp_path, "rtcamp6_v3_1")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(_REPO, "tools", "compare_golden.py"),
+            str(png), "--scale", "20",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    stats = json.loads(r.stdout)
+    assert stats["luminance_corr"] > 0.8, stats
+    assert stats["mean_abs_err"] < 0.08, stats
+
+
+@pytest.mark.skipif(
     os.environ.get("RUN_GOLDEN") != "1",
-    reason="set RUN_GOLDEN=1 to run the multi-minute golden comparison",
+    reason="set RUN_GOLDEN=1 for the multi-minute converged comparison",
 )
+def test_rtcamp6_converged_matches_reference(tmp_path):
+    """Converged comparison (RUN_GOLDEN=1): 12 passes at 192x108.
 
-
-def test_rtcamp6_matches_reference_structure(tmp_path):
+    Recorded results:
+      2026-08-17, 12 passes @ 192x108 (CPU):
+        luminance_corr=0.906, mean_abs_err=0.036, rmse=0.065
+    The 1080p/1000-pass TPU artifact + stats are committed in
+    docs/golden/."""
     out = tmp_path / "out"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     subprocess.run(
         [
             sys.executable, "-m", "hanamaru_tpu",
             "-w", "192", "-h", "108", "-s", "12", "-t", "100000", "-i", "99999",
             "--platform", "cpu", "--out-dir", str(out),
         ],
-        cwd=repo, check=True, timeout=1800,
+        cwd=_REPO, check=True, timeout=1800,
     )
     r = subprocess.run(
         [
-            sys.executable, os.path.join(repo, "tools", "compare_golden.py"),
+            sys.executable, os.path.join(_REPO, "tools", "compare_golden.py"),
             str(out / "result.png"), "--scale", "10",
         ],
         capture_output=True, text=True, check=True, timeout=120,
