@@ -93,6 +93,7 @@ def next_event_estimation(
     u1,
     u2,
     active=None,
+    traversal: str = "xla",
 ) -> Vec3:
     """Direct light at `origin` from every emissive sphere
     (renderer.rs:269-296).  One sample per light, shared randoms across
@@ -116,7 +117,8 @@ def next_event_estimation(
         # exactly on the shadow ray, so hits at t >= dist + 8*OFFSET can
         # never pass the test — prune the walk there
         hit = intersect_scene(
-            s, origin, shadow_dir, active=active, t_max=dist + 8.0 * OFFSET
+            s, origin, shadow_dir, active=active,
+            t_max=dist + 8.0 * OFFSET, traversal=traversal,
         )
         surf = surface_attributes(s, origin, shadow_dir, hit)
         # visibility: closest hit coincides with the sampled point
@@ -162,6 +164,7 @@ def bounce_step(
     direct_light_mode: str = "reference",
     lane_ids=None,
     n_total: int | None = None,
+    traversal: str = "xla",
 ) -> PathState:
     """One path vertex for the whole ray batch: intersect, shade, NEE,
     accumulate, advance (renderer.rs:174-200 body).
@@ -182,7 +185,9 @@ def bounce_step(
     k_bsdf, k_nee = jax.random.split(kb)
     u1, u2 = _uniform_pair(k_bsdf, n, dtype, lane_ids, n_total)
 
-    hit = intersect_scene(s, state.o, state.d, active=state.alive)
+    hit = intersect_scene(
+        s, state.o, state.d, active=state.alive, traversal=traversal
+    )
     surf = surface_attributes(s, state.o, state.d, hit)
     pm = point_material(s, surf.mat_id, surf.uv)
 
@@ -202,7 +207,7 @@ def bounce_step(
         nee = next_event_estimation(
             s, bs.origin, view, surf.normal,
             pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
-            active=nee_mask,
+            active=nee_mask, traversal=traversal,
         )
         acc = acc + state.refl * nee * jnp.where(nee_mask, 1.0, 0.0)
 

@@ -220,7 +220,8 @@ def _traverse_bvh(
 
 
 def intersect_scene(
-    s: SceneArrays, o: Vec3, d: Vec3, active=None, t_max=None
+    s: SceneArrays, o: Vec3, d: Vec3, active=None, t_max=None,
+    traversal: str = "xla",
 ) -> Hit:
     """Closest hit over spheres + cuboids (brute force, few of them) and the
     global triangle BVH.
@@ -235,7 +236,13 @@ def intersect_scene(
     `active` (optional [N] bool) skips the BVH walk for dead lanes — pure
     speedup, results for active lanes are unchanged.  `t_max` (optional [N])
     rejects hits at t >= t_max and lets the traversal prune nodes beyond it;
-    shadow rays use it to cap the walk at the sampled light point."""
+    shadow rays use it to cap the walk at the sampled light point.
+
+    `traversal` picks the BVH walk: "xla" = per-ray lockstep while_loop
+    (default; best for incoherent batches), "pallas" = the tile-uniform
+    Mosaic kernel (ops/traverse_pallas.py; TPU only, best for coherent
+    batches — measurements in docs/perf.md).  Both produce identical
+    hits."""
     s = jax.lax.stop_gradient(s)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
@@ -309,6 +316,19 @@ def intersect_scene(
 
     if active is not None:
         active = jax.lax.stop_gradient(active)
+    if traversal.startswith("pallas"):
+        from .traverse_pallas import traverse_scene_pallas
+
+        tt, ti = traverse_scene_pallas(
+            s, o, d, t, active=active,
+            interpret=traversal == "pallas_interpret",
+        )
+        won = ti >= 0
+        return Hit(
+            jnp.where(won, tt, t),
+            jnp.where(won, KIND_TRIANGLE, kind),
+            jnp.where(won, ti, idx),
+        )
     return _traverse_bvh(s, o, d, Hit(t, kind, idx), active)
 
 

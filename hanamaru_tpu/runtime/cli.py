@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
         "identical image, see ops/compaction.py)",
     )
     p.add_argument(
+        "--traversal", type=str, default="xla",
+        choices=["xla", "pallas", "pallas_interpret"],
+        help="BVH traversal backend (pallas = tile-uniform Mosaic kernel, "
+        "TPU only; identical hits)",
+    )
+    p.add_argument(
         "--mesh", action="store_true",
         help="shard rendering over all local devices (shard_map over the "
         "ray axis; automatic when more than one device is visible)",
@@ -106,6 +112,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         direct_light_mode=args.direct_light_mode,
         compact_from_bounce=args.compact_from_bounce,
+        traversal=args.traversal,
     )
     scene_name = args.scene or models.DEFAULT_SCENE
 

@@ -126,6 +126,7 @@ def _pass_fn(
         return integrator.bounce_step(
             arrays, state, key, bounce_idx,
             direct_light_mode=cfg.direct_light_mode,
+            traversal=cfg.traversal,
         )
 
     def bounce_compact_fn(arrays, state, key, bounce_idx, lane_ids):
@@ -133,6 +134,7 @@ def _pass_fn(
             arrays, state, key, bounce_idx,
             direct_light_mode=cfg.direct_light_mode,
             lane_ids=lane_ids, n_total=chunk,
+            traversal=cfg.traversal,
         )
 
     def accumulate_fn(rad: Vec3, acc: Vec3, chunk_idx) -> Vec3:

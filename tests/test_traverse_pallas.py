@@ -116,3 +116,41 @@ def test_pallas_traversal_respects_t0_bound(rng):
     # triangle exists; at minimum no hit at the old distance survives
     same = surv & has
     assert (np.asarray(t2)[same] < np.asarray(t_all)[same]).all()
+
+
+def test_intersect_scene_pallas_backend_parity(rng):
+    """intersect_scene(traversal="pallas_interpret") merges triangle +
+    primitive hits identically to the XLA walk, including shadow-style
+    t_max capping and dead lanes."""
+    from hanamaru_tpu.scene.desc import CuboidDesc, SphereDesc
+
+    t = 200
+    base = rng.uniform(-2, 2, (t, 1, 3))
+    tri = base + rng.uniform(-0.4, 0.4, (t, 3, 3))
+    scene = SceneDesc(
+        camera=CameraDesc(eye=(0, 0, 6), target=(0, 0, 0)),
+        elements=[
+            MeshDesc(material=MaterialDesc(DIFFUSE),
+                     vertices=tri.reshape(-1, 3),
+                     faces=np.arange(3 * t, dtype=np.int32).reshape(t, 3)),
+            SphereDesc((0.5, 0.0, 1.0), 0.7, MaterialDesc(DIFFUSE)),
+            CuboidDesc((-3, -3, -3), (-2, 3, 3), MaterialDesc(DIFFUSE)),
+        ],
+        skybox=SkyboxDesc(),
+    )
+    cs = compile_scene(scene)
+    s = jax.tree.map(jnp.asarray, cs.arrays)
+    n = 512
+    ov, dv = _rays(rng, n)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.8)
+    t_max = jnp.asarray(
+        np.where(rng.uniform(size=n) < 0.5, 5.0, np.float32(INF)).astype(np.float32)
+    )
+
+    a = intersect_scene(s, ov, dv, active=alive, t_max=t_max)
+    b = intersect_scene(
+        s, ov, dv, active=alive, t_max=t_max, traversal="pallas_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(a.kind), np.asarray(b.kind))
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-6)
