@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Isolate where fwd+bwd time goes: times HostGrad's forward chain, the
+backward chain, and backward with restricted parameter sets (material
+scalars only / no-texture) to test the scatter hypothesis.
+
+Usage: python tools/grad_profile.py [--platform cpu] [--rays 2097152]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--rays", type=int, default=1 << 21)
+    ap.add_argument("--bounces", type=int, default=9)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from hanamaru_tpu import models
+    from hanamaru_tpu.diff import params as dp
+    from hanamaru_tpu.diff.hostgrad import HostGrad
+    from hanamaru_tpu.ops.camera import normalized_coords
+    from hanamaru_tpu.scene.compile import compile_scene
+    from hanamaru_tpu.utils.vec import Vec2
+
+    desc = models.build(models.DEFAULT_SCENE)
+    cs = compile_scene(desc, models.asset_root())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    full_params, rest_full = dp.split(arrays)
+
+    n = args.rays
+    nc_all = normalized_coords(1920, 1080, 2)
+    nc = jax.device_put(Vec2(nc_all.x[:n], nc_all.y[:n]))
+    key = jax.random.PRNGKey(1)
+
+    def loss_on_acc(acc):
+        return (acc.x + acc.y + acc.z).mean()
+
+    cases = {
+        "all_params": full_params,
+        "no_atlas": {k: v for k, v in full_params.items()
+                     if not k.startswith(("tex_", "sky_"))},
+        "mat_scalars_only": {k: v for k, v in full_params.items()
+                             if k.startswith("mat_")},
+    }
+
+    for name, params in cases.items():
+        rest = dp.merge({k: v for k, v in full_params.items()
+                         if k not in params}, rest_full)
+        hg = HostGrad(rest, cs.camera, lens_shape=desc.camera.lens_shape)
+
+        # fwd-only chain
+        acc = hg.radiance(params, nc, key, args.bounces)
+        jax.block_until_ready(acc.x)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            acc = hg.radiance(params, nc, key, args.bounces)
+        jax.block_until_ready(acc.x)
+        fwd = (time.perf_counter() - t0) / args.reps
+
+        # fwd+bwd
+        _, g = hg.value_and_grad(params, nc, key, args.bounces, loss_on_acc)
+        jax.block_until_ready(jax.tree.leaves(g)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            _, g = hg.value_and_grad(params, nc, key, args.bounces, loss_on_acc)
+        jax.block_until_ready(jax.tree.leaves(g)[0])
+        both = (time.perf_counter() - t0) / args.reps
+
+        print(json.dumps({
+            "case": name,
+            "params": len(params),
+            "fwd_secs": round(fwd, 4),
+            "fwdbwd_secs": round(both, 4),
+            "bwd_over_fwd": round(both / max(fwd, 1e-9), 1),
+            "fwd_rays_per_sec": n * args.bounces and n / fwd,
+            "fwdbwd_rays_per_sec": n / both,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
