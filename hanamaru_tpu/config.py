@@ -86,10 +86,12 @@ class RenderConfig:
     # and SPMD needs one shape).  See docs/perf.md for measurements.
     compact_from_bounce: int | None = None
 
-    # BVH traversal backend: "xla" (per-ray lockstep while_loop) or
-    # "pallas" (tile-uniform Mosaic kernel, TPU only; identical hits,
-    # wins on coherent batches — docs/perf.md has the measurements;
-    # "pallas_interpret" runs the kernel in interpret mode for CPU tests)
+    # BVH traversal backend: "xla" (per-ray lockstep while_loop — the
+    # production path for every ray class; docs/perf.md has the measured
+    # dispatch-policy justification) or "pallas" (tile-uniform Mosaic
+    # kernel, TPU only; identical hits but ~250x slower than the lockstep
+    # walk even on coherent batches); "pallas_interpret" runs the kernel
+    # in interpret mode for CPU tests.
     traversal: str = "xla"
 
     @property

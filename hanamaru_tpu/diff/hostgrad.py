@@ -73,6 +73,10 @@ class HostGrad:
             return jax.tree.map(jnp.add, a, b)
 
         self._fwd, self._bwd, self._raygen, self._add = fwd, bwd, raygen, add
+        # jitted loss->cotangent programs, keyed by the loss callable: a
+        # fresh jit closure per value_and_grad call would be a fresh jit
+        # cache entry, i.e. a full (remote, 15-25 s) recompile per call
+        self._loss_cot = {}
 
     def radiance(self, params, nc: Vec2, key, num_bounces: int) -> Vec3:
         state = self._raygen(nc, key)
@@ -93,13 +97,18 @@ class HostGrad:
             state = self._fwd(params, self.rest, state, k_path, b)
 
         # seed the cotangent from the loss on the final accumulator
-        @jax.jit
-        def loss_and_cot(final_state):
-            loss, vjp_fn = jax.vjp(
-                lambda st: loss_on_acc(st.acc), final_state
-            )
-            (cot_state,) = vjp_fn(jnp.ones((), loss.dtype))
-            return loss, cot_state
+        loss_and_cot = self._loss_cot.get(loss_on_acc)
+        if loss_and_cot is None:
+
+            @jax.jit
+            def loss_and_cot(final_state):
+                loss, vjp_fn = jax.vjp(
+                    lambda st: loss_on_acc(st.acc), final_state
+                )
+                (cot_state,) = vjp_fn(jnp.ones((), loss.dtype))
+                return loss, cot_state
+
+            self._loss_cot[loss_on_acc] = loss_and_cot
 
         loss, cot_state = loss_and_cot(state)
 

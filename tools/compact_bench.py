@@ -27,6 +27,11 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--bounces", nargs="*", type=int, default=[None, 2, 3, 4],
                     help="compact_from_bounce values; first None = masking")
+    ap.add_argument("--skip-telemetry", action="store_true",
+                    help="skip the per-bounce live-fraction probe (9 scalar "
+                    "device->host syncs — risky on a degraded TPU relay; "
+                    "the fractions are resolution-independent and recorded "
+                    "in docs/perf.md)")
     args = ap.parse_args()
 
     import jax
@@ -56,41 +61,40 @@ def main() -> int:
     base_cfg = RenderConfig(width=W, height=H, sampling=10**9,
                             time_limit_sec=1e9, report_interval_sec=1e9)
 
-    # --- live-fraction telemetry (one masked pass, counting per bounce) ---
-    r0 = ProgressiveRenderer(cs, base_cfg, out_dir="/tmp/cb", tee=_Quiet())
-    key = jax.random.PRNGKey(base_cfg.seed)
-    # warm up + measure live fractions with a hand-rolled chunk loop
-    import numpy as np
+    if not args.skip_telemetry:
+        # --- live-fraction telemetry (one masked pass, counting per bounce) ---
+        r0 = ProgressiveRenderer(cs, base_cfg, out_dir="/tmp/cb", tee=_Quiet())
+        key = jax.random.PRNGKey(base_cfg.seed)
+        # warm up + measure live fractions with a hand-rolled chunk loop
+        from hanamaru_tpu.ops.camera import normalized_coords, ray_with_dof
 
-    from hanamaru_tpu.ops.camera import normalized_coords, ray_with_dof
+        n = W * H * base_cfg.rays_per_pixel_per_pass
+        n = min(n, base_cfg.max_rays_per_chunk)
+        nc = normalized_coords(W, H, base_cfg.supersampling)
+        nc = jax.device_put(
+            type(nc)(nc.x[:n], nc.y[:n])
+        )
+        arrays = r0.arrays
 
-    n = W * H * base_cfg.rays_per_pixel_per_pass
-    n = min(n, base_cfg.max_rays_per_chunk)
-    nc = normalized_coords(W, H, base_cfg.supersampling)
-    nc = jax.device_put(
-        type(nc)(nc.x[:n], nc.y[:n])
-    )
-    arrays = r0.arrays
+        @jax.jit
+        def raygen(arrays, nc, key):
+            k_lens, _ = jax.random.split(key)
+            k1, k2 = jax.random.split(k_lens)
+            u1 = jax.random.uniform(k1, (n,), nc.x.dtype)
+            u2 = jax.random.uniform(k2, (n,), nc.x.dtype)
+            o, d = ray_with_dof(cs.camera, nc, u1, u2, desc.camera.lens_shape)
+            return integrator.init_path_state(o, d)
 
-    @jax.jit
-    def raygen(arrays, nc, key):
-        k_lens, _ = jax.random.split(key)
-        k1, k2 = jax.random.split(k_lens)
-        u1 = jax.random.uniform(k1, (n,), nc.x.dtype)
-        u2 = jax.random.uniform(k2, (n,), nc.x.dtype)
-        o, d = ray_with_dof(cs.camera, nc, u1, u2, desc.camera.lens_shape)
-        return integrator.init_path_state(o, d)
+        @jax.jit
+        def bounce(arrays, state, key, b):
+            return integrator.bounce_step(arrays, state, key, b)
 
-    @jax.jit
-    def bounce(arrays, state, key, b):
-        return integrator.bounce_step(arrays, state, key, b)
-
-    st = raygen(arrays, nc, key)
-    fracs = []
-    for b in range(base_cfg.num_bounces):
-        st = bounce(arrays, st, key, b)
-        fracs.append(float(compaction.count_alive(st.alive)) / n)
-    print(json.dumps({"live_fraction_after_bounce": [round(f, 4) for f in fracs]}))
+        st = raygen(arrays, nc, key)
+        fracs = []
+        for b in range(base_cfg.num_bounces):
+            st = bounce(arrays, st, key, b)
+            fracs.append(float(compaction.count_alive(st.alive)) / n)
+        print(json.dumps({"live_fraction_after_bounce": [round(f, 4) for f in fracs]}))
 
     # --- timing per configuration ----------------------------------------
     for cb in args.bounces:
