@@ -123,6 +123,11 @@ def fit(
         loss, grads = value_and_grad(train, rest, nc, key, target)
         updates, opt_state = opt.update(grads, opt_state)
         train = optax.apply_updates(train, updates)
+        # projected Adam: clamp each field into its physical domain
+        # (dp._DOMAINS) — an unprojected step can wander into e.g.
+        # negative roughness, where the forward model is meaningless and
+        # the fit diverges
+        train = dp.project(train)
         return train, opt_state, loss
 
     losses = []

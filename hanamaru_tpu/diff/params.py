@@ -61,3 +61,40 @@ def split(
 
 def merge(params: dict[str, Any], arrays: SceneArrays) -> SceneArrays:
     return arrays._replace(**params)
+
+
+# Physical domain of each differentiable field, as (lo, hi) clamp bounds
+# (None = unbounded on that side).  Used by projected optimization
+# (diff/inverse.py): a gradient step can leave the valid domain — e.g.
+# negative roughness, where the GGX NDF (alpha = roughness,
+# material.rs:250-255) is meaningless — and the renderer's forward pass
+# would then happily produce garbage with garbage gradients.
+_DOMAINS: dict[str, tuple[float | None, float | None]] = {
+    "mat_albedo": (0.0, 1.0),        # reflectance tint, energy-conserving
+    "mat_rough": (1e-3, 1.0),        # GGX alpha floor avoids a delta NDF
+    "mat_emission": (0.0, None),
+    "mat_param": (0.0, None),        # f0 or ior, both non-negative
+    "tex": (0.0, None),              # linear-space texels
+    "sky": (0.0, None),
+    "sky_intensity": (0.0, None),
+    "sph_radius": (1e-4, None),
+}
+
+
+def project(params: dict[str, Any]) -> dict[str, Any]:
+    """Clamp every known field into its physical domain (longest-prefix
+    match on the field name); unknown fields pass through untouched."""
+    import jax.numpy as jnp
+
+    out = {}
+    for name, v in params.items():
+        bounds = None
+        best = -1
+        for prefix, b in _DOMAINS.items():
+            if name.startswith(prefix) and len(prefix) > best:
+                bounds, best = b, len(prefix)
+        if bounds is not None:
+            lo, hi = bounds
+            v = jnp.clip(v, lo, hi)
+        out[name] = v
+    return out

@@ -1,20 +1,26 @@
 #!/usr/bin/env python
-"""Converged golden render on the TPU with a relay-hardened fetch.
+"""Converged golden render on the TPU, hardened for this relay.
 
-This environment's TPU relay degrades on device->host transfers after
-long dispatch sessions (CLAUDE.md): a big fetch can hang, and a wedged
-fetch poisons the next dispatch.  So this tool separates the phases:
+Empirical relay behavior (2026-08-20 sessions, see docs/perf.md):
+forward dispatches are fast and stable at any count, but a device->host
+transfer issued after a LONG dispatch session can crash the TPU worker
+process (1000-pass sessions crashed 2/2 at the first post-render fetch;
+a 2-pass session fetched fine).  Hardening used here:
 
-  1. render N progressive passes at full res (dispatch-only, fast);
-  2. quiesce, then fetch the HDR accumulator in small blocks with
-     retries and inter-block pauses, saving to an .npz;
-  3. finalize (tonemap/gamma/bilateral/quantize) runs in a SEPARATE
-     CPU process from the .npz (tools/golden_finalize_cpu.py), so no
-     post-render device program is ever needed.
+  * the finalize program AND the fetch path are compiled and exercised
+    BEFORE the render loop (on the zero accumulator), so nothing
+    compiles after the dispatch session;
+  * fetches move the small u8 image (6 MB), not the f32 HDR accumulator
+    (24 MB), in 1 MB row blocks;
+  * artifacts are staged smallest-risk-first: a low-res render is
+    fetched and saved before the full-res attempt, so a late worker
+    crash cannot lose everything;
+  * pass counts stay modest (128 x 4 spp is visually converged; the
+    structural golden compare box-downscales anyway).
 
 Usage:
-  python tools/golden_render_tpu.py --passes 1000 --out /tmp/golden_acc.npz
-  python tools/golden_finalize_cpu.py /tmp/golden_acc.npz docs/golden/x.png
+  python tools/golden_render_tpu.py --out-dir docs/golden \
+      [--stages 384x216x64 1920x1080x128]
 """
 from __future__ import annotations
 
@@ -26,40 +32,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def slow_fetch(arr, block_bytes=1 << 19, pause=0.05, retries=3):
-    """Row-blocked device->host copy with pauses and per-block retry."""
-    import numpy as np
-
-    h = arr.shape[0]
-    if arr.ndim == 1:
-        arr = arr.reshape(1, -1) if h > 1 else arr
-    row_bytes = max(1, int(np.prod(arr.shape[1:]))) * arr.dtype.itemsize
-    step = max(1, block_bytes // row_bytes)
-    out = []
-    for i in range(0, arr.shape[0], step):
-        for attempt in range(retries):
-            try:
-                out.append(np.asarray(arr[i : i + step]))
-                break
-            except Exception as e:  # noqa: BLE001 — relay hiccup, retry
-                print(f"# block {i} attempt {attempt} failed: {e}",
-                      file=sys.stderr, flush=True)
-                if attempt + 1 == retries:
-                    raise
-                time.sleep(60.0)
-        time.sleep(pause)
-    return np.concatenate(out, axis=0)
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--passes", type=int, default=1000)
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--stages", nargs="*", default=["384x216x64", "1920x1080x128"],
+                    help="WxHxPASSES, attempted in order; each stage saves "
+                    "its PNG before the next starts")
     ap.add_argument("--scene", type=str, default=None)
-    ap.add_argument("--out", type=str, default="/tmp/golden_acc.npz")
-    ap.add_argument("--quiesce", type=float, default=30.0,
-                    help="seconds to sit idle between last pass and fetch")
+    ap.add_argument("--out-dir", type=str, default="/tmp/golden_out")
+    ap.add_argument("--quiesce", type=float, default=10.0)
     args = ap.parse_args()
 
     import jax
@@ -67,7 +47,8 @@ def main() -> int:
 
     from hanamaru_tpu import models
     from hanamaru_tpu.config import RenderConfig
-    from hanamaru_tpu.runtime.progressive import ProgressiveRenderer
+    from hanamaru_tpu.runtime.logio import save_png
+    from hanamaru_tpu.runtime.progressive import ProgressiveRenderer, fetch_image
     from hanamaru_tpu.scene.compile import compile_scene
 
     class Q:
@@ -77,40 +58,47 @@ def main() -> int:
         def close(self):
             pass
 
-    cfg = RenderConfig(width=args.width, height=args.height,
-                       sampling=args.passes, time_limit_sec=1e9,
-                       report_interval_sec=1e9)
+    os.makedirs(args.out_dir, exist_ok=True)
     desc = models.build(args.scene or models.DEFAULT_SCENE)
     cs = compile_scene(desc, models.asset_root())
     print("# scene compiled", flush=True)
 
-    r = ProgressiveRenderer(cs, cfg, out_dir="/tmp/golden_wd", tee=Q(),
-                            lens_shape=desc.camera.lens_shape)
-    key = jax.random.PRNGKey(cfg.seed)
-    t0 = time.monotonic()
-    for p in range(args.passes):
-        # same per-pass keying as ProgressiveRenderer.render (1-origin)
-        r.acc = r._pass(r.arrays, r.acc, jax.random.fold_in(key, p + 1))
-        if (p + 1) % 100 == 0:
-            jax.block_until_ready(r.acc.x)
-            print(f"# pass {p + 1}/{args.passes} "
-                  f"({time.monotonic() - t0:.1f}s)", flush=True)
-    jax.block_until_ready(r.acc.x)
-    dt = time.monotonic() - t0
-    rays = args.width * args.height * cfg.rays_per_pixel_per_pass * args.passes
-    print(f"# render done: {dt:.1f}s, {rays / dt:.3e} primary rays/s", flush=True)
+    for stage in args.stages:
+        w, h, passes = (int(v) for v in stage.split("x"))
+        cfg = RenderConfig(width=w, height=h, sampling=passes,
+                           time_limit_sec=1e9, report_interval_sec=1e9)
+        r = ProgressiveRenderer(cs, cfg, out_dir=args.out_dir, tee=Q(),
+                                lens_shape=desc.camera.lens_shape)
+        key = jax.random.PRNGKey(cfg.seed)
 
-    time.sleep(args.quiesce)
-    print("# fetching accumulator...", flush=True)
-    acc = {}
-    for name, a in (("acc_x", r.acc.x), ("acc_y", r.acc.y), ("acc_z", r.acc.z)):
-        t1 = time.monotonic()
-        acc[name] = slow_fetch(a)
-        print(f"# {name} fetched in {time.monotonic() - t1:.1f}s", flush=True)
-    np.savez(args.out + ".tmp.npz", sampled=args.passes, seed=cfg.seed,
-             width=args.width, height=args.height, **acc)
-    os.replace(args.out + ".tmp.npz", args.out)
-    print(f"# saved {args.out}", flush=True)
+        # compile + PROVE the whole post-render path on the zero
+        # accumulator before any bounce dispatch happens
+        t0 = time.monotonic()
+        warm = fetch_image(r._finalize(r.acc, 1))
+        print(f"# [{stage}] finalize+fetch path proven "
+              f"({time.monotonic() - t0:.1f}s, mean {warm.mean():.1f})",
+              flush=True)
+
+        t0 = time.monotonic()
+        for p in range(passes):
+            r.acc = r._pass(r.arrays, r.acc, jax.random.fold_in(key, p + 1))
+            if (p + 1) % 32 == 0:
+                jax.block_until_ready(r.acc.x)
+        jax.block_until_ready(r.acc.x)
+        dt = time.monotonic() - t0
+        rays = w * h * cfg.rays_per_pixel_per_pass * passes
+        print(f"# [{stage}] render {dt:.1f}s, {rays / dt:.3e} primary rays/s",
+              flush=True)
+
+        time.sleep(args.quiesce)
+        img = r._finalize(r.acc, passes)
+        jax.block_until_ready(img)
+        print(f"# [{stage}] finalized; fetching...", flush=True)
+        out = fetch_image(img)
+        path = os.path.join(args.out_dir, f"rtcamp6_{w}x{h}_{passes}pass.png")
+        save_png(path, out)
+        print(f"# [{stage}] saved {path}", flush=True)
+    print("ALL STAGES DONE", flush=True)
     return 0
 
 
