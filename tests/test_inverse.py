@@ -90,3 +90,25 @@ def test_inverse_demo_tool(tmp_path):
     assert b0[0] > b0[1] and b0[0] > b0[2], b0
     for name in ("target.png", "initial.png", "recovered.png"):
         assert (tmp_path / name).exists()
+
+
+def test_project_clamps_to_physical_domain():
+    """Projected-Adam helper: every differentiable field is clamped into
+    its physical domain (negative GGX roughness diverges the forward
+    model — alpha = roughness, material.rs:250-255); unknown fields pass
+    through untouched."""
+    p = {
+        "mat_rough_r": jnp.array([-0.3, 0.5, 2.0]),
+        "mat_albedo_g": jnp.array([1.4, -0.1, 0.6]),
+        "mat_emission_b": jnp.array([-5.0, 40.0]),
+        "sky_intensity": jnp.array([-1.0]),
+        "sph_radius": jnp.array([0.0, 2.0]),
+        "sph_cx": jnp.array([-7.5]),   # center: unbounded
+    }
+    q = dp.project(p)
+    np.testing.assert_allclose(q["mat_rough_r"], [1e-3, 0.5, 1.0])
+    np.testing.assert_allclose(q["mat_albedo_g"], [1.0, 0.0, 0.6])
+    np.testing.assert_allclose(q["mat_emission_b"], [0.0, 40.0])
+    np.testing.assert_allclose(q["sky_intensity"], [0.0])
+    np.testing.assert_allclose(q["sph_radius"], [1e-4, 2.0])
+    np.testing.assert_allclose(q["sph_cx"], [-7.5])
