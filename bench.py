@@ -95,7 +95,8 @@ def main() -> int:
     params, rest = dp.split(r.arrays)
     hg = HostGrad(rest, cs.camera,
                   direct_light_mode=cfg.direct_light_mode,
-                  lens_shape=desc.camera.lens_shape)
+                  lens_shape=desc.camera.lens_shape,
+                  tex_channels=cs.tex_channels)
 
     nc_full = normalized_coords(width, height, cfg.supersampling)
     n_rays = nc_full.x.shape[0]

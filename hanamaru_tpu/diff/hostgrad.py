@@ -27,10 +27,14 @@ from ..scene.compile import CameraArrays, SceneArrays
 from ..utils.vec import Vec2, Vec3
 
 
-def _bounce_fn(params, rest: SceneArrays, state, key, bounce_idx, direct_light_mode):
+def _bounce_fn(params, rest: SceneArrays, state, key, bounce_idx,
+               direct_light_mode, hits=None, want_hits=False,
+               tex_channels=(True, True, True)):
     return integrator.bounce_step(
         dp.merge(params, rest), state, key, bounce_idx,
         direct_light_mode=direct_light_mode,
+        hits=hits, want_hits=want_hits,
+        tex_channels=tex_channels,
     )
 
 
@@ -39,7 +43,8 @@ class HostGrad:
     topology (rest) and config."""
 
     def __init__(self, rest: SceneArrays, cam: CameraArrays,
-                 direct_light_mode: str = "reference", lens_shape: str = "circle"):
+                 direct_light_mode: str = "reference", lens_shape: str = "circle",
+                 tex_channels: tuple[bool, bool, bool] = (True, True, True)):
         self.rest = rest
         self.cam = cam
 
@@ -48,12 +53,21 @@ class HostGrad:
         # this environment's remote TPU compile service (CLAUDE.md)
         @jax.jit
         def fwd(params, rest, state, key, b):
-            return _bounce_fn(params, rest, state, key, b, direct_light_mode)
+            # records this bounce's packed hit decisions alongside the new
+            # state — free byproducts of the walk it does anyway
+            return _bounce_fn(params, rest, state, key, b, direct_light_mode,
+                              want_hits=True, tex_channels=tex_channels)
 
         @jax.jit
-        def bwd(params, rest, state, key, b, cot_state):
+        def bwd(params, rest, state, key, b, hits, cot_state):
+            # replay the recorded hits: the VJP program contains no BVH
+            # walk at all (the hit search is detached — see
+            # ops/intersect.py intersect_scene — so gradients are
+            # identical to re-searching)
             _, vjp_fn = jax.vjp(
-                lambda p, st: _bounce_fn(p, rest, st, key, b, direct_light_mode),
+                lambda p, st: _bounce_fn(p, rest, st, key, b,
+                                         direct_light_mode, hits=hits,
+                                         tex_channels=tex_channels),
                 params, state,
             )
             return vjp_fn(cot_state)
@@ -73,28 +87,35 @@ class HostGrad:
             return jax.tree.map(jnp.add, a, b)
 
         self._fwd, self._bwd, self._raygen, self._add = fwd, bwd, raygen, add
-        # jitted loss->cotangent programs, keyed by the loss callable: a
-        # fresh jit closure per value_and_grad call would be a fresh jit
-        # cache entry, i.e. a full (remote, 15-25 s) recompile per call
-        self._loss_cot = {}
+        # jitted loss->cotangent programs, keyed (weakly) by the loss
+        # callable: a fresh jit closure per value_and_grad call would be a
+        # fresh jit cache entry, i.e. a full (remote, 15-25 s) recompile
+        # per call.  Callers must pass a STABLE callable across calls to
+        # hit this cache; the weak keying releases abandoned closures and
+        # their compiled programs instead of retaining them forever.
+        import weakref
+
+        self._loss_cot = weakref.WeakKeyDictionary()
 
     def radiance(self, params, nc: Vec2, key, num_bounces: int) -> Vec3:
         state = self._raygen(nc, key)
         _, k_path = jax.random.split(key)
         for b in range(num_bounces):
-            state = self._fwd(params, self.rest, state, k_path, b)
+            state, _ = self._fwd(params, self.rest, state, k_path, b)
         return state.acc
 
     def value_and_grad(self, params, nc: Vec2, key, num_bounces: int, loss_on_acc):
         """loss_on_acc: jittable (acc Vec3) -> scalar.  Returns
         (loss, dloss/dparams) with the backward chained on the host."""
-        # forward, retaining each bounce's input state
+        # forward, retaining each bounce's input state + packed hit records
         state = self._raygen(nc, key)
         _, k_path = jax.random.split(key)
         states = []
+        hit_recs = []
         for b in range(num_bounces):
             states.append(state)
-            state = self._fwd(params, self.rest, state, k_path, b)
+            state, rec = self._fwd(params, self.rest, state, k_path, b)
+            hit_recs.append(rec)
 
         # seed the cotangent from the loss on the final accumulator
         loss_and_cot = self._loss_cot.get(loss_on_acc)
@@ -115,7 +136,7 @@ class HostGrad:
         grads = None
         for b in reversed(range(num_bounces)):
             cot_params_b, cot_state = self._bwd(
-                params, self.rest, states[b], k_path, b, cot_state
+                params, self.rest, states[b], k_path, b, hit_recs[b], cot_state
             )
             grads = cot_params_b if grads is None else self._add(grads, cot_params_b)
         return loss, grads

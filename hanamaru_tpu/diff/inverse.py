@@ -28,11 +28,13 @@ class FitResult:
     losses: list[float]
 
 
-def render_radiance(arrays, cam, nc, key, num_bounces: int, spp: int) -> Vec3:
+def render_radiance(arrays, cam, nc, key, num_bounces: int, spp: int,
+                    tex_channels=(True, True, True)) -> Vec3:
     """Mean radiance over spp progressive passes (smooth target/render)."""
     acc = None
     for i in range(spp):
-        rad = integrator.render_pass(arrays, cam, nc, jax.random.fold_in(key, i), num_bounces)
+        rad = integrator.render_pass(arrays, cam, nc, jax.random.fold_in(key, i), num_bounces,
+                                     tex_channels=tex_channels)
         acc = rad if acc is None else acc + rad
     return acc * (1.0 / spp)
 
@@ -83,8 +85,9 @@ def fit(
         rendering."""
         arr = dp.merge({**frozen, **train}, rest)
         ka, kb = jax.random.split(key)
-        a = render_radiance(arr, cs.camera, nc, ka, num_bounces, spp)
-        b = render_radiance(arr, cs.camera, nc, kb, num_bounces, spp)
+        tc = cs.tex_channels
+        a = render_radiance(arr, cs.camera, nc, ka, num_bounces, spp, tex_channels=tc)
+        b = render_radiance(arr, cs.camera, nc, kb, num_bounces, spp, tex_channels=tc)
         da = a - target
         db = b - target
         return (da.x * db.x + da.y * db.y + da.z * db.z).mean()

@@ -46,15 +46,41 @@ LIGHT_GEOM_FIELDS: tuple[str, ...] = (
     "sph_cx", "sph_cy", "sph_cz", "sph_radius",
 )
 
+# Named parameter tiers (CLI --grad-params / bench.py).  "mat" is the
+# scalar tier — every per-material BSDF scalar plus the skybox intensity
+# knob, i.e. the parameters inverse-rendering workflows actually fit
+# (diff/inverse.py, docs/inverse/) — and excludes the texel arrays whose
+# adjoints dominate backward cost (millions of scatter/segment-sum
+# targets; docs/perf.md "backward anatomy").  "tex" adds the texture
+# atlas + skybox texel grids; "all" is both (the full PARAM_FIELDS set).
+TIER_FIELDS: dict[str, tuple[str, ...]] = {
+    "mat": (
+        "mat_param",
+        "mat_albedo_r", "mat_albedo_g", "mat_albedo_b",
+        "mat_emission_r", "mat_emission_g", "mat_emission_b",
+        "mat_rough_r", "mat_rough_g", "mat_rough_b",
+        "sky_intensity",
+    ),
+    "tex": (
+        "tex_r", "tex_g", "tex_b",
+        "sky_r", "sky_g", "sky_b",
+        "sky_intensity",
+    ),
+    "all": PARAM_FIELDS,
+}
+
 
 def split(
-    arrays: SceneArrays, light_geometry: bool = False
+    arrays: SceneArrays, light_geometry: bool = False, tier: str = "all"
 ) -> tuple[dict[str, Any], SceneArrays]:
     """Returns (params dict, full arrays).  The arrays keep their values;
     merge() overwrites the param fields.  With `light_geometry`, sphere
     centers/radii (= light geometry, see LIGHT_GEOM_FIELDS) join the
-    differentiable set."""
-    fields = PARAM_FIELDS + (LIGHT_GEOM_FIELDS if light_geometry else ())
+    differentiable set.  `tier` selects a named subset of PARAM_FIELDS
+    (TIER_FIELDS); fields outside the tier stay in `arrays` and the
+    backward pass never materializes their adjoints (XLA dead-code
+    eliminates the whole chain)."""
+    fields = TIER_FIELDS[tier] + (LIGHT_GEOM_FIELDS if light_geometry else ())
     params = {f: getattr(arrays, f) for f in fields}
     return params, arrays
 

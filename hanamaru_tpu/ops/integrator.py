@@ -30,13 +30,44 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import OFFSET, PI2
+from ..config import INF, OFFSET, PI2
 from ..scene.compile import CameraArrays, SceneArrays
 from ..utils.vec import Vec2, Vec3, where3, zeros3_like
 from . import bsdf
 from .camera import ray_pinhole, ray_with_dof
-from .intersect import intersect_scene, surface_attributes
+from .intersect import Hit, KIND_NONE, intersect_scene, surface_attributes
 from .texture import point_emission, point_material, sample_skybox
+
+
+# ---------------------------------------------------------------------------
+# hit records: pack/replay support for the host-chained backward pass
+# ---------------------------------------------------------------------------
+# The hit *search* is fully detached from autodiff (intersect_scene stops
+# gradients on every input), so the backward pass can replay the forward
+# chain's discrete hit decisions instead of re-walking the BVH.  A hit is
+# (kind, idx); its detached distance is only ever read on miss lanes
+# (surface_attributes uses the differentiable recomputed distance on hit
+# lanes), so a record packs kind into the top bits of one i32 per ray and
+# the replay reconstructs the miss distance from context.
+_PACK_SHIFT = 28
+_PACK_MASK = (1 << _PACK_SHIFT) - 1
+
+
+def pack_hit(hit: Hit) -> jax.Array:
+    """One i32 per ray: kind in bits 28+, prim index below (indices are
+    bounded by the scene's primitive counts, far under 2^28)."""
+    return (hit.kind << _PACK_SHIFT) | hit.idx
+
+
+def unpack_hit(packed, t_miss) -> Hit:
+    """Rebuild a Hit from its packed record.  `t_miss` is the (detached)
+    distance misses carried in the original search — INF for primary
+    rays, the t_max cap for shadow rays; hit lanes' stored distance is
+    never read downstream and is reconstructed as 0."""
+    kind = packed >> _PACK_SHIFT
+    idx = packed & _PACK_MASK
+    t = jnp.where(kind != KIND_NONE, jnp.zeros_like(t_miss), t_miss)
+    return Hit(t, kind, idx)
 
 
 def _uniform_pair(key, n, dtype, lane_ids=None, n_total=None):
@@ -94,18 +125,27 @@ def next_event_estimation(
     u2,
     active=None,
     traversal: str = "xla",
-) -> Vec3:
+    shadow_hits=None,
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
+) -> tuple[Vec3, jax.Array]:
     """Direct light at `origin` from every emissive sphere
     (renderer.rs:269-296).  One sample per light, shared randoms across
-    lights like the reference.
+    lights like the reference.  Returns (radiance, packed shadow-hit
+    records [num_lights, N]).
 
     Shadow rays cap the BVH walk at the sampled light point (`t_max`): any
     hit beyond it lies farther from the light sample than the visibility
     tolerance, so pruning cannot change the result.  `active` lanes that
     are not NEE-eligible skip the walk entirely (their contribution is
-    masked out by the caller anyway)."""
+    masked out by the caller anyway).
+
+    `shadow_hits` (optional [num_lights, N] i32, a previous call's second
+    return): replay those hit records instead of walking the BVH — the
+    backward pass runs with no traversal at all (hit search is detached,
+    so gradients are identical; see pack_hit)."""
     acc = zeros3_like(origin.x)
     num_lights = s.lt_sph.shape[0]
+    recorded = []
     for li in range(num_lights):
         lpos, lnormal, pdf = sample_light_surface(s, li, u1, u2)
         shadow_vec = lpos - origin
@@ -116,24 +156,36 @@ def next_event_estimation(
         # visibility tolerance is 4*OFFSET on |hit - lpos|, and lpos lies
         # exactly on the shadow ray, so hits at t >= dist + 8*OFFSET can
         # never pass the test — prune the walk there
-        hit = intersect_scene(
-            s, origin, shadow_dir, active=active,
-            t_max=dist + 8.0 * OFFSET, traversal=traversal,
-        )
+        t_cap = dist + 8.0 * OFFSET
+        if shadow_hits is None:
+            hit = intersect_scene(
+                s, origin, shadow_dir, active=active,
+                t_max=t_cap, traversal=traversal,
+            )
+        else:
+            hit = unpack_hit(
+                shadow_hits[li], jax.lax.stop_gradient(t_cap)
+            )
+        recorded.append(pack_hit(hit))
         surf = surface_attributes(s, origin, shadow_dir, hit)
         # visibility: closest hit coincides with the sampled point
         # (renderer.rs:282, vector.rs:89-91 — tolerance 4*OFFSET)
         delta = surf.position - lpos
         visible = hit.mask & (delta.dot(delta) < (4.0 * OFFSET) ** 2)
 
-        emission = point_emission(s, surf.mat_id, surf.uv)
+        emission = point_emission(s, surf.mat_id, surf.uv,
+                                  textured=tex_channels[1])
         dot_0 = jnp.abs(normal.dot(shadow_dir))
         dot_l = jnp.abs(lnormal.dot(shadow_dir))
         geom = dot_0 * dot_l / jnp.maximum(dist2, 1e-20)
         f = bsdf.evaluate(surface, param, roughness, view, normal, shadow_dir)
         w = jnp.where(visible, f * geom / pdf, 0.0)
         acc = acc + emission * w
-    return acc * albedo
+    if recorded:
+        rec = jnp.stack(recorded, axis=0)
+    else:
+        rec = jnp.zeros((0,) + origin.x.shape, jnp.int32)
+    return acc * albedo, rec
 
 
 class PathState(NamedTuple):
@@ -165,6 +217,9 @@ def bounce_step(
     lane_ids=None,
     n_total: int | None = None,
     traversal: str = "xla",
+    hits=None,
+    want_hits: bool = False,
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
 ) -> PathState:
     """One path vertex for the whole ray batch: intersect, shade, NEE,
     accumulate, advance (renderer.rs:174-200 body).
@@ -177,7 +232,13 @@ def bounce_step(
     `lane_ids`/`n_total`: when the batch is a compacted prefix
     (ops/compaction.py), per-lane randoms are drawn as original lane
     `lane_ids[j]` of the `n_total`-wide batch so compaction does not
-    change the image."""
+    change the image.
+
+    `want_hits=True` additionally returns this bounce's packed hit
+    records `(primary [N] i32, shadow [num_lights, N] i32)`; passing
+    them back as `hits=` replays the (detached) hit decisions with no
+    BVH walk — how the host-chained backward pass (diff/hostgrad.py)
+    eliminates traversal from its VJP programs."""
     n = state.o.x.shape[0]
     dtype = state.o.x.dtype
     use_nee = s.lt_sph.shape[0] > 0
@@ -185,11 +246,14 @@ def bounce_step(
     k_bsdf, k_nee = jax.random.split(kb)
     u1, u2 = _uniform_pair(k_bsdf, n, dtype, lane_ids, n_total)
 
-    hit = intersect_scene(
-        s, state.o, state.d, active=state.alive, traversal=traversal
-    )
+    if hits is None:
+        hit = intersect_scene(
+            s, state.o, state.d, active=state.alive, traversal=traversal
+        )
+    else:
+        hit = unpack_hit(hits[0], jnp.full(n, INF, dtype))
     surf = surface_attributes(s, state.o, state.d, hit)
-    pm = point_material(s, surf.mat_id, surf.uv)
+    pm = point_material(s, surf.mat_id, surf.uv, tex_channels=tex_channels)
 
     view = -state.d
     bs = bsdf.sample(
@@ -201,13 +265,16 @@ def bounce_step(
     sample_ok = live_hit & bs.valid
 
     acc = state.acc
+    shadow_rec = None
     if use_nee:
         nee_mask = sample_ok & bsdf.nee_available(pm.surface)
         n1, n2 = _uniform_pair(k_nee, n, dtype, lane_ids, n_total)
-        nee = next_event_estimation(
+        nee, shadow_rec = next_event_estimation(
             s, bs.origin, view, surf.normal,
             pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
             active=nee_mask, traversal=traversal,
+            shadow_hits=None if hits is None else hits[1],
+            tex_channels=tex_channels,
         )
         acc = acc + state.refl * nee * jnp.where(nee_mask, 1.0, 0.0)
 
@@ -233,7 +300,12 @@ def bounce_step(
 
     o = where3(sample_ok, bs.origin, state.o)
     d = where3(sample_ok, bs.direction, state.d)
-    return PathState(o, d, acc, refl, alive)
+    out = PathState(o, d, acc, refl, alive)
+    if not want_hits:
+        return out
+    if shadow_rec is None:
+        shadow_rec = jnp.zeros((0, n), jnp.int32)
+    return out, (pack_hit(hit), shadow_rec)
 
 
 def trace(
@@ -243,6 +315,7 @@ def trace(
     key,
     num_bounces: int,
     direct_light_mode: str = "reference",
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
 ) -> Vec3:
     """Trace a batch of rays for `num_bounces` path vertices; returns
     accumulated radiance per ray.  lax.scan keeps the whole path in one
@@ -250,7 +323,8 @@ def trace(
 
     def body(state, bounce_idx):
         return (
-            bounce_step(s, state, key, bounce_idx, direct_light_mode),
+            bounce_step(s, state, key, bounce_idx, direct_light_mode,
+                        tex_channels=tex_channels),
             None,
         )
 
@@ -266,6 +340,7 @@ def render_pass(
     num_bounces: int,
     lens_shape: str = "circle",
     direct_light_mode: str = "reference",
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
 ) -> Vec3:
     """One progressive pass: DoF primary rays for every (pixel, subsample)
     normalized coord, traced to radiance (renderer.rs:163-173)."""
@@ -273,7 +348,8 @@ def render_pass(
     k_lens, k_path = jax.random.split(key)
     u1, u2 = _uniform_pair(k_lens, n, nc.x.dtype)
     o, d = ray_with_dof(cam, nc, u1, u2, lens_shape)
-    return trace(s, o, d, k_path, num_bounces, direct_light_mode)
+    return trace(s, o, d, k_path, num_bounces, direct_light_mode,
+                 tex_channels=tex_channels)
 
 
 # ---------------------------------------------------------------------------

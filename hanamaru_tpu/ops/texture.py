@@ -15,6 +15,7 @@ from ..config import GAMMA_FACTOR
 from ..scene.compile import SceneArrays
 from ..utils.vec import Vec2, Vec3
 from ..utils.colors import gamma_to_linear
+from .dgather import gather_tables, gather_texels
 from typing import NamedTuple
 
 
@@ -24,7 +25,12 @@ def _bilinear_gamma(
     """Bilinear fetch from a padded [A,Hp,Wp] per-channel atlas.
 
     tid/u/v are per-ray arrays; widths/heights are the *actual* per-image
-    dims.  Returns gamma-space values."""
+    dims.  Returns gamma-space values.
+
+    The four taps go through ONE `gather_texels` call (indices stacked
+    [4,N]) so the backward pass accumulates all taps' texel adjoints in
+    a single sort-based segment sum instead of four N-update scatters
+    (ops/dgather.py)."""
     _, hp, wp = plane_r.shape
     fr = plane_r.reshape(-1)
     fg = plane_g.reshape(-1)
@@ -39,23 +45,26 @@ def _bilinear_gamma(
     x2 = x1 + 1.0
     y2 = y1 + 1.0
 
-    def fetch(xi, yi) -> Vec3:
+    def flat(xi, yi):
         # clamp-to-edge + vertical flip (texture.rs:59-63)
         xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
         yc = jnp.clip(h - yi.astype(jnp.int32) - 1, 0, h - 1)
-        flat = (tid * hp + yc) * wp + xc
-        return Vec3(fr[flat], fg[flat], fb[flat])
+        return (tid * hp + yc) * wp + xc
 
-    p11 = fetch(x1, y1)
-    p12 = fetch(x1, y2)
-    p21 = fetch(x2, y1)
-    p22 = fetch(x2, y2)
-    return (
-        p11 * ((x2 - x) * (y2 - y))
-        + p21 * ((x - x1) * (y2 - y))
-        + p12 * ((x2 - x) * (y - y1))
-        + p22 * ((x - x1) * (y - y1))
+    taps = jnp.stack(
+        [flat(x1, y1), flat(x2, y1), flat(x1, y2), flat(x2, y2)], axis=0
+    )                                                     # [4, N]
+    tr, tg, tb = gather_texels(taps, (fr, fg, fb))        # each [4, N]
+    wts = jnp.stack(
+        [
+            (x2 - x) * (y2 - y),
+            (x - x1) * (y2 - y),
+            (x2 - x) * (y - y1),
+            (x - x1) * (y - y1),
+        ],
+        axis=0,
     )
+    return Vec3((tr * wts).sum(0), (tg * wts).sum(0), (tb * wts).sum(0))
 
 
 def sample_atlas(s: SceneArrays, tid, u, v) -> Vec3:
@@ -108,38 +117,69 @@ class PointMaterial(NamedTuple):
                            #  scene.rs:348)
 
 
-def point_emission(s: SceneArrays, mat_id, uv: Vec2) -> Vec3:
-    """Emission channel only — used for NEE shadow-hit radiance."""
+def point_emission(s: SceneArrays, mat_id, uv: Vec2, textured: bool = True) -> Vec3:
+    """Emission channel only — used for NEE shadow-hit radiance.
+
+    `textured=False` is a STATIC (trace-time) promise that no material
+    has an emission texture (scene/compile.py texture_channel_flags): the
+    atlas fetch is skipped entirely — bit-identical output (the fetch
+    would be masked out per-lane anyway) and it prunes the fetch's whole
+    uv->bilinear chain from forward and backward programs.  The pruning
+    matters most in the VJP: the shadow-hit uv chain's transpose was the
+    single dominant cost of the round-2 backward pass (docs/perf.md)."""
     from ..utils.vec import where3
 
-    color = Vec3(
-        s.mat_emission_r[mat_id], s.mat_emission_g[mat_id], s.mat_emission_b[mat_id]
+    er, eg, eb = gather_tables(
+        mat_id, (s.mat_emission_r, s.mat_emission_g, s.mat_emission_b)
     )
+    color = Vec3(er, eg, eb)
+    if not textured:
+        return color
     tex = s.mat_emission_tex[mat_id]
     val = sample_atlas(s, jnp.maximum(tex, 0), uv.x, uv.y)
     return where3(tex >= 0, val * color, color)
 
 
-def point_material(s: SceneArrays, mat_id, uv: Vec2) -> PointMaterial:
-    """Sample the 3 material channels at the hit uv (scene.rs:345-348)."""
+def point_material(
+    s: SceneArrays, mat_id, uv: Vec2,
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
+) -> PointMaterial:
+    """Sample the 3 material channels at the hit uv (scene.rs:345-348).
 
-    def chan(cr, cg, cb, ct) -> Vec3:
-        color = Vec3(cr[mat_id], cg[mat_id], cb[mat_id])
+    All ten float channels are gathered through one `gather_tables` call:
+    the backward pass then accumulates every material-scalar gradient in
+    a single one-hot matmul instead of ten scatters (ops/dgather.py).
+
+    `tex_channels` = static (albedo, emission, roughness) flags: False
+    promises no material textures that channel, skipping its atlas fetch
+    (see point_emission; scene/compile.py computes the flags)."""
+    from ..utils.vec import where3
+
+    (ar, ag, ab, er, eg, eb, rr, rg, rb, param) = gather_tables(
+        mat_id,
+        (
+            s.mat_albedo_r, s.mat_albedo_g, s.mat_albedo_b,
+            s.mat_emission_r, s.mat_emission_g, s.mat_emission_b,
+            s.mat_rough_r, s.mat_rough_g, s.mat_rough_b,
+            s.mat_param,
+        ),
+    )
+
+    def chan(base: Vec3, ct, on: bool) -> Vec3:
+        if not on:
+            return base
         tex = ct[mat_id]
         has = tex >= 0
         val = sample_atlas(s, jnp.maximum(tex, 0), uv.x, uv.y)
-        from ..utils.vec import where3
+        return where3(has, val * base, base)
 
-        return where3(has, val * color, color)
-
-    albedo = chan(s.mat_albedo_r, s.mat_albedo_g, s.mat_albedo_b, s.mat_albedo_tex)
-    emission = chan(
-        s.mat_emission_r, s.mat_emission_g, s.mat_emission_b, s.mat_emission_tex
-    )
-    rough = chan(s.mat_rough_r, s.mat_rough_g, s.mat_rough_b, s.mat_rough_tex)
+    alb_on, emi_on, rou_on = tex_channels
+    albedo = chan(Vec3(ar, ag, ab), s.mat_albedo_tex, alb_on)
+    emission = chan(Vec3(er, eg, eb), s.mat_emission_tex, emi_on)
+    rough = chan(Vec3(rr, rg, rb), s.mat_rough_tex, rou_on)
     return PointMaterial(
         surface=s.mat_surface[mat_id],
-        param=s.mat_param[mat_id],
+        param=param,
         albedo=albedo,
         emission=emission,
         roughness=rough.x,

@@ -33,6 +33,7 @@ def render_pass_sharded(
     num_bounces: int,
     lens_shape: str = "circle",
     direct_light_mode: str = "reference",
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
 ) -> Vec3:
     """One progressive pass with rays sharded over the mesh.
 
@@ -44,6 +45,7 @@ def render_pass_sharded(
         return integrator.render_pass(
             arrays, cam, nc_shard, key, num_bounces,
             lens_shape=lens_shape, direct_light_mode=direct_light_mode,
+            tex_channels=tex_channels,
         )
 
     fn = jax.shard_map(
@@ -64,10 +66,12 @@ def loss_fn(
     key,
     target: Vec3,
     num_bounces: int,
+    tex_channels: tuple[bool, bool, bool] = (True, True, True),
 ) -> jax.Array:
     """Mean squared error between a rendered pass and target radiance."""
     arrays = dp.merge(params, rest)
-    rad = integrator.render_pass(arrays, cam, nc, key, num_bounces)
+    rad = integrator.render_pass(arrays, cam, nc, key, num_bounces,
+                                 tex_channels=tex_channels)
     d = rad - target
     return (d.x * d.x + d.y * d.y + d.z * d.z).mean()
 

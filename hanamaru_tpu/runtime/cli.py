@@ -56,7 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--traversal", type=str, default="xla",
         choices=["xla", "pallas", "pallas_interpret"],
         help="BVH traversal backend (pallas = tile-uniform Mosaic kernel, "
-        "TPU only; identical hits)",
+        "TPU only; identical hits but ~250x slower than xla AND known to "
+        "crash this environment's TPU worker after its run — requires "
+        "--unsafe-pallas-traversal on a real TPU; see docs/perf.md)",
+    )
+    p.add_argument(
+        "--unsafe-pallas-traversal", action="store_true",
+        help="acknowledge that --traversal pallas reproducibly crashes "
+        "the TPU worker process after running (docs/perf.md, 2026-08-20 "
+        "measurements), degrading the shared relay for ~15 min",
     )
     p.add_argument(
         "--mesh", action="store_true",
@@ -102,6 +110,20 @@ def main(argv=None) -> int:
     from ..scene.compile import compile_scene
     from .logio import Tee
     from .progressive import ProgressiveRenderer, render_debug
+
+    if (
+        args.traversal == "pallas"
+        and not args.unsafe_pallas_traversal
+        and any(d.platform == "tpu" for d in jax.devices())
+    ):
+        print(
+            "--traversal pallas on a real TPU reproducibly crashes the "
+            "TPU worker after its run (docs/perf.md); pass "
+            "--unsafe-pallas-traversal to run it anyway, or use the "
+            "default xla traversal (faster on every measured ray class).",
+            file=sys.stderr,
+        )
+        return 2
 
     cfg = RenderConfig(
         width=args.width,
@@ -151,6 +173,19 @@ def main(argv=None) -> int:
 
             mesh = make_mesh()
             tee(f"mesh: {mesh.devices.size} devices over '{mesh.axis_names[0]}'.")
+            # surface the two mesh-mode semantic caveats (README "mesh
+            # mode" notes): compaction needs one static shape across
+            # devices, and per-device RNG folding changes the sample set
+            if cfg.compact_from_bounce is not None:
+                tee(
+                    "mesh mode: stream compaction disabled (per-device "
+                    "live counts diverge; dead-lane masking used instead)."
+                )
+            tee(
+                "mesh mode: per-device RNG folding samples different "
+                "random sequences than a single-device render — images "
+                "converge to the same limit but are not bit-identical."
+            )
         r = ProgressiveRenderer(
             cs, cfg, out_dir=args.out_dir, tee=tee, lens_shape=lens_shape,
             mesh=mesh, checkpoint_path=args.checkpoint,

@@ -122,11 +122,14 @@ def _pass_fn(
         o, d = ray_with_dof(cs.camera, nc, u1, u2, lens_shape)
         return integrator.init_path_state(o, d)
 
+    tex_channels = cs.tex_channels
+
     def bounce_fn(arrays, state, key, bounce_idx):
         return integrator.bounce_step(
             arrays, state, key, bounce_idx,
             direct_light_mode=cfg.direct_light_mode,
             traversal=cfg.traversal,
+            tex_channels=tex_channels,
         )
 
     def bounce_compact_fn(arrays, state, key, bounce_idx, lane_ids):
@@ -135,6 +138,7 @@ def _pass_fn(
             direct_light_mode=cfg.direct_light_mode,
             lane_ids=lane_ids, n_total=chunk,
             traversal=cfg.traversal,
+            tex_channels=tex_channels,
         )
 
     def accumulate_fn(rad: Vec3, acc: Vec3, chunk_idx) -> Vec3:
@@ -338,6 +342,11 @@ class ProgressiveRenderer:
             acc_z=fetch_image(self.acc.z),
             sampled=self.sampled,
             seed=self.cfg.seed,
+            # geometry keys so a checkpoint is self-describing — the
+            # split golden pipeline (tools/golden_finalize_cpu.py)
+            # finalizes these npz files on the CPU backend
+            width=self.cfg.width,
+            height=self.cfg.height,
         )
         os.replace(tmp, path)
 

@@ -145,6 +145,22 @@ class CompiledScene:
     name: str
     stats: dict
 
+    # Static (albedo, emission, roughness) texture-usage flags, computed
+    # at compile time while the tables are still host numpy (never a
+    # device fetch).  Passed to the integrator (ops/texture.py
+    # point_material) so scenes that never texture a channel compile
+    # without that channel's atlas fetch — identical output, and it
+    # prunes the fetch's uv->bilinear transpose from the backward pass.
+    tex_channels: tuple[bool, bool, bool] = (True, True, True)
+
+
+def texture_channel_flags(arrays: SceneArrays) -> tuple[bool, bool, bool]:
+    return (
+        bool((np.asarray(arrays.mat_albedo_tex) >= 0).any()),
+        bool((np.asarray(arrays.mat_emission_tex) >= 0).any()),
+        bool((np.asarray(arrays.mat_rough_tex) >= 0).any()),
+    )
+
 
 def compile_camera(c: D.CameraDesc, dtype=np.float32) -> CameraArrays:
     eye = np.asarray(c.eye, np.float64)
@@ -411,4 +427,5 @@ def compile_scene(scene: D.SceneDesc, asset_root: str = ".", dtype=np.float32) -
         bvh_depth=bvh.depth,
         name=scene.name,
         stats=stats,
+        tex_channels=texture_channel_flags(arrays),
     )

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Finalize a fetched HDR accumulator (.npz from golden_render_tpu.py) to
-a PNG on the CPU backend — the post-processing half of the split golden
-pipeline (the TPU relay here can't be trusted with post-render device
-programs + big fetches; see tools/golden_render_tpu.py).
+"""Finalize a fetched HDR accumulator checkpoint (.npz written by
+ProgressiveRenderer.save_checkpoint — e.g. a `--checkpoint-interval`
+render, whose npz carries acc_x/y/z, sampled, width, height) to a PNG on
+the CPU backend — the post-processing half of the split golden pipeline
+(the TPU relay here can't be trusted with post-render device programs +
+big fetches; see tools/golden_render_tpu.py).
 
 The finalize chain is the SAME jitted finalize_image as the on-device
 path (ops/postprocess.py — tonemap/gamma/bilateral/quantize parity with
@@ -32,6 +34,12 @@ def main() -> int:
     from hanamaru_tpu.utils.vec import Vec3
 
     d = np.load(acc_path)
+    if "width" not in d or "height" not in d:
+        raise SystemExit(
+            f"{acc_path} lacks width/height keys: pre-round-3 checkpoints "
+            "are not self-describing; re-save or pass a checkpoint written "
+            "by the current ProgressiveRenderer.save_checkpoint"
+        )
     cfg = RenderConfig(width=int(d["width"]), height=int(d["height"]))
     fin = _finalize_fn(cfg)
     img = np.asarray(

@@ -61,7 +61,8 @@ def main() -> int:
     for name, params in cases.items():
         rest = dp.merge({k: v for k, v in full_params.items()
                          if k not in params}, rest_full)
-        hg = HostGrad(rest, cs.camera, lens_shape=desc.camera.lens_shape)
+        hg = HostGrad(rest, cs.camera, lens_shape=desc.camera.lens_shape,
+                      tex_channels=cs.tex_channels)
 
         # fwd-only chain
         acc = hg.radiance(params, nc, key, args.bounces)
