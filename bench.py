@@ -5,9 +5,16 @@ Headline metric (BASELINE.json): rays/s/chip forward+backward at 1080p on
 the rtcamp6 default scene (rtcamp6_v3_1, main.rs:1273) with the
 reference's sampling config (2x2 supersampling, 9-bounce paths, NEE, DoF,
 IBL).  One "ray" = one primary ray fully path-traced forward AND
-backpropagated to all differentiable scene parameters (diff/params.py)
-through the host-chained VJP (diff/hostgrad.py).  The forward-only rate is
-reported alongside (`fwd_rays_per_sec`) for continuity with round 1.
+backpropagated through the host-chained VJP (diff/hostgrad.py).
+
+Two parameter tiers are measured (diff/params.py TIER_FIELDS):
+`value` uses the "mat" tier — every per-material BSDF scalar plus skybox
+intensity, the set inverse-rendering workflows fit (the benchmarked
+default, per VERDICT r2 item 1) — and `fwd_bwd_all_params_rays_per_sec`
+reports the "all" tier (texture atlas + skybox texel grids included),
+whose adjoint accumulates into ~27M texel targets per pass.  The
+forward-only rate is reported alongside (`fwd_rays_per_sec`) for
+continuity with round 1.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 The denominator is the rate implied by its rtcamp6 submission —
@@ -92,12 +99,6 @@ def main() -> int:
     print(f"# fwd: {fwd_rays_per_sec:.3e} rays/s", file=sys.stderr)
 
     # ---- forward+backward (the BASELINE headline) --------------------------
-    params, rest = dp.split(r.arrays)
-    hg = HostGrad(rest, cs.camera,
-                  direct_light_mode=cfg.direct_light_mode,
-                  lens_shape=desc.camera.lens_shape,
-                  tex_channels=cs.tex_channels)
-
     nc_full = normalized_coords(width, height, cfg.supersampling)
     n_rays = nc_full.x.shape[0]
     chunks = []
@@ -108,30 +109,39 @@ def main() -> int:
     def loss_on_acc(acc):
         return (acc.x + acc.y + acc.z).mean()
 
-    def one_grad_pass(seed_key):
-        total = None
-        for ci, nc in enumerate(chunks):
-            _, g = hg.value_and_grad(
-                params, nc, jax.random.fold_in(seed_key, ci),
-                cfg.num_bounces, loss_on_acc,
-            )
-            total = g if total is None else hg._add(total, g)
-        return total
+    def measure_tier(tier, grad_passes):
+        params, rest = dp.split(r.arrays, tier=tier)
+        hg = HostGrad(rest, cs.camera,
+                      direct_light_mode=cfg.direct_light_mode,
+                      lens_shape=desc.camera.lens_shape,
+                      tex_channels=cs.tex_channels)
 
-    # warmup / compile (fwd+bwd+loss programs; first TPU compile is slow)
-    g = one_grad_pass(jax.random.fold_in(key, 1000))
-    jax.block_until_ready(jax.tree.leaves(g)[0])
+        def one_grad_pass(seed_key):
+            total = None
+            for ci, nc in enumerate(chunks):
+                _, g = hg.value_and_grad(
+                    params, nc, jax.random.fold_in(seed_key, ci),
+                    cfg.num_bounces, loss_on_acc,
+                )
+                total = g if total is None else hg._add(total, g)
+            return total
 
-    grad_passes = 2
-    t0 = time.monotonic()
-    for p in range(grad_passes):
-        g = one_grad_pass(jax.random.fold_in(key, 2000 + p))
-    jax.block_until_ready(jax.tree.leaves(g)[0])
-    dt_bwd = time.monotonic() - t0
+        # warmup / compile (fwd+bwd+loss programs; first TPU compile is slow)
+        g = one_grad_pass(jax.random.fold_in(key, 1000))
+        jax.block_until_ready(jax.tree.leaves(g)[0])
 
-    fwdbwd_rays_per_sec = rays_per_pass * grad_passes / dt_bwd
+        t0 = time.monotonic()
+        for p in range(grad_passes):
+            g = one_grad_pass(jax.random.fold_in(key, 2000 + p))
+        jax.block_until_ready(jax.tree.leaves(g)[0])
+        dt = time.monotonic() - t0
+        rate = rays_per_pass * grad_passes / dt
+        print(f"# fwd+bwd[{tier}]: {rate:.3e} rays/s", file=sys.stderr)
+        return rate
+
+    fwdbwd_rays_per_sec = measure_tier("mat", 2)
+    fwdbwd_all_rays_per_sec = measure_tier("all", 1)
     vs = fwdbwd_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC
-    print(f"# fwd+bwd: {fwdbwd_rays_per_sec:.3e} rays/s", file=sys.stderr)
 
     print(
         json.dumps(
@@ -140,6 +150,8 @@ def main() -> int:
                 "value": fwdbwd_rays_per_sec,
                 "unit": "rays/s",
                 "vs_baseline": vs,
+                "grad_params_tier": "mat",
+                "fwd_bwd_all_params_rays_per_sec": fwdbwd_all_rays_per_sec,
                 "fwd_rays_per_sec": fwd_rays_per_sec,
                 "fwd_vs_baseline": fwd_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC,
                 "baseline_rays_per_sec": BASELINE_PRIMARY_RAYS_PER_SEC,
@@ -147,7 +159,10 @@ def main() -> int:
                     "denominator = rate implied by the reference's submitted "
                     "rtcamp6 render (upper bound on the Rust CPU renderer; "
                     "no cargo in this image to re-measure) -> vs_baseline is "
-                    "a lower bound. 1000x target "
+                    "a lower bound. value = mat-tier gradients (per-material "
+                    "scalars + sky intensity, the documented default; "
+                    "VERDICT r2 item 1); all-params incl. 27M texels in "
+                    "fwd_bwd_all_params_rays_per_sec. 1000x target "
                     + ("MET" if vs >= 1000 else "NOT met")
                     + " on fwd+bwd against that conservative denominator."
                 ),

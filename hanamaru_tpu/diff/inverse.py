@@ -53,6 +53,7 @@ def fit(
     param_filter: Optional[Callable[[str], bool]] = None,
     verbose: bool = False,
     mesh=None,
+    lr_end: Optional[float] = None,
 ) -> FitResult:
     """Adam-fit the differentiable scene parameters to a target radiance
     image rendered at (width, height) with supersampling off.
@@ -70,7 +71,16 @@ def fit(
     train = {k: v for k, v in init_params.items() if keep(k)}
     frozen = {k: v for k, v in init_params.items() if not keep(k)}
 
-    opt = optax.adam(lr)
+    # cosine-decayed lr (lr -> lr_end) tames the late-phase parameter
+    # jitter of Adam under Monte-Carlo gradient noise; constant lr when
+    # lr_end is None
+    if lr_end is not None:
+        schedule = optax.cosine_decay_schedule(
+            lr, max(steps, 1), alpha=lr_end / lr
+        )
+        opt = optax.adam(schedule)
+    else:
+        opt = optax.adam(lr)
     opt_state = opt.init(train)
 
     def loss_fn(train, rest, nc, key, target):

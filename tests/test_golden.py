@@ -6,8 +6,15 @@ Three tiers (VERDICT r1 item 4):
    intersection, shading, NEE, tonemap or filter semantics);
 2. cheap structural parity vs the reference's committed competition
    output (always on; downscaled luminance correlation);
-3. the converged multi-minute comparison (opt-in via RUN_GOLDEN=1; the
-   committed 1080p TPU artifact lives in docs/golden/, see docs/perf.md).
+3. the converged multi-minute comparison (opt-in via RUN_GOLDEN=1).
+   The converged 1080p TPU artifact + compare stats belong in
+   docs/golden/ — docs/perf.md "Converged golden render (status)"
+   records each attempt; check there whether the artifact has landed.
+
+All tier-1/2 renders run in ONE subprocess (tests/golden_runner.py): the
+scenes share a resolution, so the integrator programs compile once and
+every further scene pays only its scene build — the single biggest
+suite-time win (VERDICT r2 weak 8).
 """
 import json
 import os
@@ -20,26 +27,24 @@ import pytest
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _GOLD = os.path.join(_REPO, "tests", "golden")
 
-pytestmark = pytest.mark.slow
+_SCENES = ["material_examples", "rtcamp5", "tbf3", "rtcamp6_v3_1"]
 
 
-def _render(tmp_path, scene, w=96, h=54, s=4):
-    out = tmp_path / f"out_{scene}"
+@pytest.fixture(scope="module")
+def rendered(tmp_path_factory):
+    """Render every golden scene in one 1-device CPU subprocess."""
+    out = tmp_path_factory.mktemp("golden_renders")
     # goldens are single-device renders; the conftest's 8-virtual-device
     # XLA_FLAGS would flip the CLI into mesh mode (different per-device
     # RNG folding, hence a different image)
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     subprocess.run(
-        [
-            sys.executable, "-m", "hanamaru_tpu",
-            "-w", str(w), "-h", str(h), "-s", str(s),
-            "-t", "100000", "-i", "99999",
-            "--platform", "cpu", "--scene", scene, "--out-dir", str(out),
-        ],
+        [sys.executable, os.path.join(_REPO, "tests", "golden_runner.py"),
+         str(out), *_SCENES],
         cwd=_REPO, check=True, timeout=870, env=env,
     )
-    return out / "result.png"
+    return out
 
 
 def _load(path):
@@ -49,27 +54,26 @@ def _load(path):
 
 
 @pytest.mark.parametrize("scene", ["material_examples", "rtcamp5", "tbf3"])
-def test_scene_matches_committed_golden(scene, tmp_path):
+def test_scene_matches_committed_golden(scene, rendered):
     """Deterministic seed + deterministic XLA CPU => the render must stay
     extremely close to the committed golden; drift means semantics
     changed (tolerances leave room for benign cross-version float
     reassociation, nothing more)."""
-    ours = _load(_render(tmp_path, scene))
+    ours = _load(rendered / scene / "result.png")
     gold = _load(os.path.join(_GOLD, f"{scene}_96x54_s4.png"))
     diff = np.abs(ours - gold)
     assert diff.mean() < 0.01, f"mean abs diff {diff.mean():.4f}"
     assert (diff < 0.1).mean() > 0.995, "too many strongly-changed pixels"
 
 
-def test_rtcamp6_structure_vs_reference(tmp_path):
+def test_rtcamp6_structure_vs_reference(rendered):
     """Always-on structural parity against the reference's submitted
     render (rtcamp6_1000x4spp.png): even a 4-pass 96x54 render of a
     correct implementation correlates strongly after box-downscale."""
-    png = _render(tmp_path, "rtcamp6_v3_1")
     r = subprocess.run(
         [
             sys.executable, os.path.join(_REPO, "tools", "compare_golden.py"),
-            str(png), "--scale", "20",
+            str(rendered / "rtcamp6_v3_1" / "result.png"), "--scale", "20",
         ],
         capture_output=True, text=True, timeout=120,
     )
@@ -78,6 +82,7 @@ def test_rtcamp6_structure_vs_reference(tmp_path):
     assert stats["mean_abs_err"] < 0.08, stats
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("RUN_GOLDEN") != "1",
     reason="set RUN_GOLDEN=1 for the multi-minute converged comparison",
@@ -88,8 +93,8 @@ def test_rtcamp6_converged_matches_reference(tmp_path):
     Recorded results:
       2026-08-17, 12 passes @ 192x108 (CPU):
         luminance_corr=0.906, mean_abs_err=0.036, rmse=0.065
-    The 1080p/1000-pass TPU artifact + stats are committed in
-    docs/golden/."""
+    For the converged TPU artifact see docs/golden/ (status tracked in
+    docs/perf.md — relay crashes have repeatedly blocked extraction)."""
     out = tmp_path / "out"
     subprocess.run(
         [

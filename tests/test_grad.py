@@ -39,7 +39,16 @@ def _scene():
     )
 
 
+_BUILDER_CACHE = {}
+
+
 def _loss_builder():
+    # one scene compile + one jitted loss/grad pair for ALL
+    # parametrizations: the FD checks differ only in which scalar they
+    # nudge, so recompiling per test was pure waste (suite-time item,
+    # VERDICT r2 weak 8)
+    if "loss" in _BUILDER_CACHE:
+        return _BUILDER_CACHE["loss"], _BUILDER_CACHE["params"]
     cs = compile_scene(_scene())
     arrays = jax.tree.map(jnp.asarray, cs.arrays)
     params, rest = dp.split(arrays)
@@ -53,11 +62,14 @@ def _loss_builder():
     ov, dv = from_stacked(jnp.asarray(o)), from_stacked(jnp.asarray(d))
     key = jax.random.PRNGKey(3)
 
+    @jax.jit
     def loss(p):
         arr = dp.merge(p, rest)
         rad = integrator.trace(arr, ov, dv, key, 3)
         return (rad.x + rad.y + rad.z).mean()
 
+    _BUILDER_CACHE["loss"] = loss
+    _BUILDER_CACHE["params"] = params
     return loss, params
 
 
@@ -73,7 +85,8 @@ def _loss_builder():
 )
 def test_grad_matches_finite_difference(field, index):
     loss, params = _loss_builder()
-    g = jax.grad(loss)(params)
+    gradfn = _BUILDER_CACHE.setdefault("gradfn", jax.jit(jax.grad(loss)))
+    g = gradfn(params)
     assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
 
     if field == "sky_intensity":
@@ -190,7 +203,7 @@ def test_light_geometry_grad_through_trace():
         rad = integrator.trace(arr, ov, dv, jax.random.PRNGKey(5), 1)
         return (rad.x + rad.y + rad.z).mean()
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
     for field in ("sph_cx", "sph_cy", "sph_cz", "sph_radius"):
         assert np.asarray(g[field])[light_sph] != 0.0, f"{field} grad vanished"
@@ -219,7 +232,7 @@ def test_texture_texel_gradients():
         rad = integrator.trace(arr, ov, dv, jax.random.PRNGKey(0), 2)
         return rad.x.mean()
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     tex_grad = np.asarray(g["tex_r"])
     assert np.all(np.isfinite(tex_grad))
     assert np.abs(tex_grad).sum() > 0, "no gradient reached the texture atlas"

@@ -57,7 +57,7 @@ def test_hostgrad_matches_scan_grad():
         rad = integrator.render_pass(arr, cs.camera, nc, key, bounces)
         return loss_on_acc(rad)
 
-    loss_s, grads_s = jax.value_and_grad(loss_scan)(params)
+    loss_s, grads_s = jax.jit(jax.value_and_grad(loss_scan))(params)
 
     np.testing.assert_allclose(float(loss_h), float(loss_s), rtol=1e-5)
     for k in grads_s:

@@ -3,6 +3,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# long Adam schedules; run with -m "slow or not slow" (CI)
+pytestmark = pytest.mark.slow
 
 from hanamaru_tpu.diff import params as dp
 from hanamaru_tpu.diff.inverse import fit, render_radiance

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hanamaru_tpu.diff import params as dp
 from hanamaru_tpu.ops import integrator
@@ -57,6 +58,7 @@ def test_sharded_render_matches_single_device():
     assert not np.allclose(blocks[0], blocks[1])
 
 
+@pytest.mark.slow
 def test_sharded_train_step_updates_params_and_agrees_across_devices():
     cs = compile_scene(_scene())
     arrays = jax.tree.map(jnp.asarray, cs.arrays)
@@ -89,6 +91,7 @@ def test_sharded_train_step_updates_params_and_agrees_across_devices():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -16,7 +16,8 @@ Artifacts written to --out-dir:
 
 CI runs this at reduced scale on the 8-device CPU mesh
 (tests/test_inverse.py::test_inverse_demo_tool); the committed artifacts
-in docs/inverse/ come from the full run (see docs/perf.md).
+in docs/inverse/ state their own scale in report.json (resolution/steps)
+— consult it rather than assuming the defaults above were used.
 
 Usage:
   python tools/inverse_demo.py --platform cpu --cpu-mesh 8 \
@@ -37,7 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--height", type=int, default=270)
     ap.add_argument("--steps", type=int, default=150)
-    ap.add_argument("--lr", type=float, default=4e-2)
+    ap.add_argument("--lr", type=float, default=6e-2)
+    ap.add_argument("--lr-end", type=float, default=5e-3,
+                    help="cosine-decay Adam lr to this; 0 = constant lr")
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--target-spp", type=int, default=16)
     ap.add_argument("--num-bounces", type=int, default=4)
@@ -131,6 +134,7 @@ def main(argv=None) -> int:
         spp=args.spp, seed=args.seed,
         param_filter=lambda name: name in wanted,
         verbose=True, mesh=mesh,
+        lr_end=args.lr_end or None,
     )
 
     preview(result.params, key, args.target_spp,
