@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["reference", "nee_clamp"],
     )
     p.add_argument(
+        "--max-rays-per-chunk", type=int, default=None,
+        help="rays per device dispatch (default 2^23 — best for TPU HBM; "
+        "use ~2^18 on the CPU backend, where the lockstep BVH walk wants "
+        "chunks that fit in cache)",
+    )
+    p.add_argument(
         "--compact-from-bounce", type=int, default=None,
         help="stream-compact live rays from this bounce on (single-chip; "
         "identical image, see ops/compaction.py)",
@@ -135,6 +141,11 @@ def main(argv=None) -> int:
         direct_light_mode=args.direct_light_mode,
         compact_from_bounce=args.compact_from_bounce,
         traversal=args.traversal,
+        **(
+            {"max_rays_per_chunk": args.max_rays_per_chunk}
+            if args.max_rays_per_chunk
+            else {}
+        ),
     )
     scene_name = args.scene or models.DEFAULT_SCENE
 

@@ -38,11 +38,15 @@ def fetch_image(img) -> np.ndarray:
     """Device -> host copy of an [H,W,3] image in row blocks.
 
     Large single transfers (>~4 MB) hang this environment's TPU relay;
-    block-wise fetches are reliable and just as fast."""
+    block-wise fetches are reliable and just as fast.  The block size is
+    tunable via HANAMARU_FETCH_BLOCK_BYTES (default 1 MiB): on degraded
+    relay days even 1 MiB fetches have aborted the worker while small
+    blocks survived (docs/perf.md golden-render log)."""
     img = jax.block_until_ready(img)
     h = img.shape[0]
     row_bytes = max(1, int(np.prod(img.shape[1:]))) * img.dtype.itemsize
-    step = max(1, (1 << 20) // row_bytes)
+    block_bytes = int(os.environ.get("HANAMARU_FETCH_BLOCK_BYTES", 1 << 20))
+    step = max(1, block_bytes // row_bytes)
     if h <= step:
         return np.asarray(img)
     return np.concatenate(
