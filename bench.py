@@ -44,6 +44,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from hanamaru_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from hanamaru_tpu import models
     from hanamaru_tpu.config import RenderConfig
     from hanamaru_tpu.diff import params as dp

@@ -109,6 +109,10 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from .cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from ..parallel.distributed import initialize as dist_init
 
     dist_init(args.coordinator, args.process_id, args.num_processes)

@@ -43,6 +43,10 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    from hanamaru_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import numpy as np
 
     from hanamaru_tpu import models
