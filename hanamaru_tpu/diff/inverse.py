@@ -26,6 +26,10 @@ from ..utils.vec import Vec2, Vec3
 class FitResult:
     params: dict[str, Any]
     losses: list[float]
+    # Polyak (EMA) average of the projected iterates: under Monte-Carlo
+    # gradient noise the raw final iterate wanders (and rectifies against
+    # clamp boundaries); the average is the better point estimate
+    ema_params: dict[str, Any] | None = None
 
 
 def render_radiance(arrays, cam, nc, key, num_bounces: int, spp: int,
@@ -143,13 +147,22 @@ def fit(
         train = dp.project(train)
         return train, opt_state, loss
 
+    @jax.jit
+    def ema_update(ema, train):
+        return jax.tree.map(lambda e, t: 0.99 * e + 0.01 * t, ema, train)
+
     losses = []
+    ema = train
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
         train, opt_state, loss = step(
             train, opt_state, rest, nc, jax.random.fold_in(key, i), target
         )
+        ema = ema_update(ema, train)
         losses.append(float(loss))
         if verbose and (i % 10 == 0 or i == steps - 1):
             print(f"step {i}: loss {losses[-1]:.6f}")
-    return FitResult(params={**frozen, **train}, losses=losses)
+    return FitResult(
+        params={**frozen, **train}, losses=losses,
+        ema_params={**frozen, **dp.project(ema)},
+    )

@@ -137,7 +137,10 @@ def main(argv=None) -> int:
         lr_end=args.lr_end or None,
     )
 
-    preview(result.params, key, args.target_spp,
+    # report on the Polyak-averaged iterate (FitResult.ema_params): the
+    # raw final iterate carries step-to-step MC jitter the average does not
+    best = result.ema_params or result.params
+    preview(best, key, args.target_spp,
             os.path.join(args.out_dir, "recovered.png"))
 
     # report: true vs recovered for every perturbed channel
@@ -145,12 +148,12 @@ def main(argv=None) -> int:
               "steps": args.steps, "resolution": f"{W}x{H}", "balls": {}}
     for ball, (alb, rough) in TRUE_EDITS.items():
         m = ball_mat[ball]
-        rec_alb = [float(np.asarray(result.params[f])[m])
+        rec_alb = [float(np.asarray(best[f])[m])
                    for f in ("mat_albedo_r", "mat_albedo_g", "mat_albedo_b")]
         entry = {"true_albedo": list(alb), "recovered_albedo": rec_alb,
                  "albedo_abs_err": float(np.abs(np.array(alb) - rec_alb).max())}
         if rough is not None:
-            rec_r = float(np.asarray(result.params["mat_rough_r"])[m])
+            rec_r = float(np.asarray(best["mat_rough_r"])[m])
             entry["true_roughness"] = rough
             entry["recovered_roughness"] = rec_r
             entry["roughness_abs_err"] = abs(rough - rec_r)
