@@ -36,8 +36,13 @@ import time
 # reference-derived denominator (see module docstring)
 BASELINE_PRIMARY_RAYS_PER_SEC = 1920 * 1080 * 1000 * 4 / 123.0
 
-GRAD_CHUNK = 1 << 21   # rays per value_and_grad chunk (bounds HBM: ~9
-                       # retained PathStates + VJP residuals per chunk)
+GRAD_CHUNK = 1 << 23   # rays per value_and_grad chunk: the full 1080p x
+                       # 2x2 frame in ONE chunk.  The host-chained bwd is
+                       # dispatch-latency-bound on this relay (docs/perf.md
+                       # round-3 anatomy: wall time is constant ~30-40 ms
+                       # from 1M to 8M rays), so fewer+bigger chunks win;
+                       # HBM fits (9 retained states + hits ~4.5 GB,
+                       # verified by tools/grad_profile.py --rays 8388608)
 
 
 def main() -> int:

@@ -44,33 +44,55 @@ class HostGrad:
 
     def __init__(self, rest: SceneArrays, cam: CameraArrays,
                  direct_light_mode: str = "reference", lens_shape: str = "circle",
-                 tex_channels: tuple[bool, bool, bool] = (True, True, True)):
+                 tex_channels: tuple[bool, bool, bool] = (True, True, True),
+                 span: int = 1):
+        """`span`: bounces processed per jitted forward/backward call.
+        The host chain is dispatch-latency-bound on this environment's
+        TPU relay (docs/perf.md round-3 anatomy: bwd wall time is a
+        constant ~30-40 ms from 1M to 8M rays — pure per-dispatch
+        overhead), so spanning k bounces per program divides the
+        latency-dominated chain length by k.  num_bounces must be a
+        multiple of span.  Memory: the VJP holds residuals for `span`
+        unrolled bounces at once (~span x the 1-bounce footprint);
+        span=3 at 2^23 rays fits a 16 GB chip."""
         self.rest = rest
         self.cam = cam
+        self.span = span
 
         # the scene tables (`rest`) are jit *arguments*, not closure
         # captures: captured arrays embed as HLO constants, which stalls
         # this environment's remote TPU compile service (CLAUDE.md)
         @jax.jit
-        def fwd(params, rest, state, key, b):
-            # records this bounce's packed hit decisions alongside the new
-            # state — free byproducts of the walk it does anyway
-            return _bounce_fn(params, rest, state, key, b, direct_light_mode,
-                              want_hits=True, tex_channels=tex_channels)
+        def fwd(params, rest, state, key, b0):
+            # one program advances `span` bounces, recording each bounce's
+            # packed hit decisions — free byproducts of walks it does anyway
+            hits = []
+            for j in range(span):
+                state, h = _bounce_fn(params, rest, state, key, b0 + j,
+                                      direct_light_mode, want_hits=True,
+                                      tex_channels=tex_channels)
+                hits.append(h)
+            return state, tuple(hits)
 
         @jax.jit
-        def bwd(params, rest, state, key, b, hits, cot_state):
+        def bwd(params, rest, state, key, b0, hits, cot_state, grads_in):
             # replay the recorded hits: the VJP program contains no BVH
             # walk at all (the hit search is detached — see
             # ops/intersect.py intersect_scene — so gradients are
-            # identical to re-searching)
-            _, vjp_fn = jax.vjp(
-                lambda p, st: _bounce_fn(p, rest, st, key, b,
-                                         direct_light_mode, hits=hits,
-                                         tex_channels=tex_channels),
-                params, state,
-            )
-            return vjp_fn(cot_state)
+            # identical to re-searching).  The span's parameter cotangent
+            # is accumulated into `grads_in` INSIDE the program: every
+            # folded-away dispatch is relay latency off the critical path.
+            def span_fn(p, st):
+                for j in range(span):
+                    st = _bounce_fn(p, rest, st, key, b0 + j,
+                                    direct_light_mode, hits=hits[j],
+                                    tex_channels=tex_channels)
+                return st
+
+            cot_params, cot_state = jax.vjp(span_fn, params, state)[1](cot_state)
+            if grads_in is None:
+                return cot_params, cot_state
+            return jax.tree.map(jnp.add, grads_in, cot_params), cot_state
 
         @jax.jit
         def raygen(nc: Vec2, key):
@@ -98,23 +120,25 @@ class HostGrad:
         self._loss_cot = weakref.WeakKeyDictionary()
 
     def radiance(self, params, nc: Vec2, key, num_bounces: int) -> Vec3:
+        assert num_bounces % self.span == 0, (num_bounces, self.span)
         state = self._raygen(nc, key)
         _, k_path = jax.random.split(key)
-        for b in range(num_bounces):
-            state, _ = self._fwd(params, self.rest, state, k_path, b)
+        for b0 in range(0, num_bounces, self.span):
+            state, _ = self._fwd(params, self.rest, state, k_path, b0)
         return state.acc
 
     def value_and_grad(self, params, nc: Vec2, key, num_bounces: int, loss_on_acc):
         """loss_on_acc: jittable (acc Vec3) -> scalar.  Returns
         (loss, dloss/dparams) with the backward chained on the host."""
-        # forward, retaining each bounce's input state + packed hit records
+        # forward, retaining each span's input state + packed hit records
+        assert num_bounces % self.span == 0, (num_bounces, self.span)
         state = self._raygen(nc, key)
         _, k_path = jax.random.split(key)
         states = []
         hit_recs = []
-        for b in range(num_bounces):
+        for b0 in range(0, num_bounces, self.span):
             states.append(state)
-            state, rec = self._fwd(params, self.rest, state, k_path, b)
+            state, rec = self._fwd(params, self.rest, state, k_path, b0)
             hit_recs.append(rec)
 
         # seed the cotangent from the loss on the final accumulator
@@ -134,9 +158,10 @@ class HostGrad:
         loss, cot_state = loss_and_cot(state)
 
         grads = None
-        for b in reversed(range(num_bounces)):
-            cot_params_b, cot_state = self._bwd(
-                params, self.rest, states[b], k_path, b, hit_recs[b], cot_state
+        span_starts = list(range(0, num_bounces, self.span))
+        for si in reversed(range(len(span_starts))):
+            grads, cot_state = self._bwd(
+                params, self.rest, states[si], k_path, span_starts[si],
+                hit_recs[si], cot_state, grads,
             )
-            grads = cot_params_b if grads is None else self._add(grads, cot_params_b)
         return loss, grads

@@ -42,13 +42,19 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--lr-end", type=float, default=5e-3,
                     help="cosine-decay Adam lr to this; 0 = constant lr")
     ap.add_argument("--spp", type=int, default=1)
-    ap.add_argument("--target-spp", type=int, default=16)
+    ap.add_argument("--target-spp", type=int, default=128)
     ap.add_argument("--num-bounces", type=int, default=4)
     ap.add_argument("--out-dir", type=str, default="docs/inverse")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--cpu-mesh", type=int, default=0,
                     help="force N virtual CPU devices (set before jax import)")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--restarts", type=int, default=3,
+                    help="independent Adam runs; the reported fit is the "
+                    "restart with the lowest held-out evaluation error "
+                    "(the GGX ball's loss landscape has a spurious "
+                    "dark-albedo/high-roughness basin under MC noise)")
+    ap.add_argument("--eval-spp", type=int, default=8)
     return ap
 
 
@@ -128,24 +134,57 @@ def main(argv=None) -> int:
 
     wanted = ("mat_albedo_r", "mat_albedo_g", "mat_albedo_b",
               "mat_rough_r", "mat_rough_g", "mat_rough_b")
-    result = fit(
-        cs, target, init_params, W, H,
-        steps=args.steps, lr=args.lr, num_bounces=args.num_bounces,
-        spp=args.spp, seed=args.seed,
-        param_filter=lambda name: name in wanted,
-        verbose=True, mesh=mesh,
-        lr_end=args.lr_end or None,
-    )
 
-    # report on the Polyak-averaged iterate (FitResult.ema_params): the
-    # raw final iterate carries step-to-step MC jitter the average does not
-    best = result.ema_params or result.params
+    def heldout_err(params):
+        # paired-product evaluation, averaged over independent key pairs:
+        # E[(A-t)(B-t)] = (E[render]-t)^2 without the estimator-variance
+        # floor that swamped a plain one-render MSE (candidate
+        # differences are ~1e-3; the unpaired variance floor was ~0.3)
+        arr = dp.merge(params, rest)
+        total = 0.0
+        pairs = 4
+        for i in range(pairs):
+            ka, kb = jax.random.split(
+                jax.random.PRNGKey(args.seed + 90210 + i))
+            a = render_radiance(arr, cs.camera, nc, ka, args.num_bounces,
+                                args.eval_spp, tex_channels=cs.tex_channels)
+            b = render_radiance(arr, cs.camera, nc, kb, args.num_bounces,
+                                args.eval_spp, tex_channels=cs.tex_channels)
+            prod = ((a.x - target.x) * (b.x - target.x)
+                    + (a.y - target.y) * (b.y - target.y)
+                    + (a.z - target.z) * (b.z - target.z))
+            total += float(jnp.mean(prod))
+        return total / pairs
+
+    candidates = []
+    for restart in range(max(args.restarts, 1)):
+        result = fit(
+            cs, target, init_params, W, H,
+            steps=args.steps, lr=args.lr, num_bounces=args.num_bounces,
+            spp=args.spp, seed=args.seed + 1000 * restart,
+            param_filter=lambda name: name in wanted,
+            verbose=True, mesh=mesh,
+            lr_end=args.lr_end or None,
+        )
+        cand = result.ema_params or result.params
+        err = heldout_err(cand)
+        print(f"# restart {restart}: heldout {err:.5f}", file=sys.stderr)
+        candidates.append((err, restart, cand, result))
+    candidates.sort(key=lambda c: c[0])
+    heldout, chosen, best, result = candidates[0]
+
+    # report on the Polyak-averaged iterate of the best restart: the raw
+    # final iterate carries step-to-step MC jitter the average does not
     preview(best, key, args.target_spp,
             os.path.join(args.out_dir, "recovered.png"))
 
     # report: true vs recovered for every perturbed channel
     report = {"losses_first": result.losses[0], "losses_last": result.losses[-1],
-              "steps": args.steps, "resolution": f"{W}x{H}", "balls": {}}
+              "steps": args.steps, "resolution": f"{W}x{H}",
+              "restarts": max(args.restarts, 1), "chosen_restart": chosen,
+              "heldout_mse": heldout,
+              "heldout_all": [round(c[0], 6) for c in sorted(candidates, key=lambda c: c[1])],
+              "balls": {}}
     for ball, (alb, rough) in TRUE_EDITS.items():
         m = ball_mat[ball]
         rec_alb = [float(np.asarray(best[f])[m])
