@@ -86,6 +86,16 @@ class RenderConfig:
     # and SPMD needs one shape).  See docs/perf.md for measurements.
     compact_from_bounce: int | None = None
 
+    # forward bounces fused per device dispatch.  The bounce loop is
+    # host-driven (one compiled step per call); on a TPU reached through
+    # a serializing relay each dispatch costs ~0.2-0.5 ms of latency, so
+    # fusing k bounces into one program divides the per-pass dispatch
+    # count by ~k (9 bounces: 11 -> 5 dispatches/pass at span 3).  Used
+    # when it divides num_bounces and stream compaction is off (the
+    # compaction decision point needs per-bounce host control).  Pure
+    # unrolling of the same step: bit-identical images.
+    bounce_span: int = 3
+
     # BVH traversal backend: "xla" (per-ray lockstep while_loop — the
     # production path for every ray class; docs/perf.md has the measured
     # dispatch-policy justification) or "pallas" (tile-uniform Mosaic

@@ -161,9 +161,22 @@ def _pass_fn(
 
         return Vec3(upd(acc.x, rad.x), upd(acc.y, rad.y), upd(acc.z, rad.z))
 
+    # forward bounce fusion (cfg.bounce_span): unroll k bounce steps in
+    # one jitted program — same ops, same RNG (bounce_fn keys by
+    # bounce_idx), k-fold fewer host dispatches.  Compaction needs
+    # per-bounce host control, so spans apply only to the masked path.
+    span = cfg.bounce_span if cfg.bounce_span > 0 else 1
+    if cfg.num_bounces % span or cfg.compact_from_bounce is not None:
+        span = 1
+
+    def bounce_span_fn(arrays, state, key, b0):
+        for j in range(span):
+            state = bounce_fn(arrays, state, key, b0 + j)
+        return state
+
     if mesh is None:
         raygen = jax.jit(raygen_fn)
-        bounce = jax.jit(bounce_fn, donate_argnums=(1,))
+        bounce = jax.jit(bounce_span_fn, donate_argnums=(1,))
         bounce_compact = jax.jit(bounce_compact_fn, donate_argnums=(1,))
         accumulate = jax.jit(accumulate_fn, donate_argnums=(1,))
     else:
@@ -187,9 +200,11 @@ def _pass_fn(
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
             return raygen_fn(nc, key)
 
-        def bounce_shard(arrays, state, key, b):
+        def bounce_shard(arrays, state, key, b0):
+            # the axis fold is deterministic, so folding once for the whole
+            # span draws the same per-bounce streams as folding per bounce
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
-            return bounce_fn(arrays, state, key, b)
+            return bounce_span_fn(arrays, state, key, b0)
 
         raygen = jax.jit(
             jax.shard_map(
@@ -251,6 +266,8 @@ def _pass_fn(
                         acc_bank = state.acc
                         state, src = compaction.compact_state(state, m)
                 if src is None:
+                    if b % span:
+                        continue   # handled by the span program
                     state = bounce(arrays, state, k_chunk, b)
                 else:
                     state = bounce_compact(arrays, state, k_chunk, b, src)
