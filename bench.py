@@ -12,9 +12,13 @@ Two parameter tiers are measured (diff/params.py TIER_FIELDS):
 intensity, the set inverse-rendering workflows fit (the benchmarked
 default, per VERDICT r2 item 1) — and `fwd_bwd_all_params_rays_per_sec`
 reports the "all" tier (texture atlas + skybox texel grids included),
-whose adjoint accumulates into ~27M texel targets per pass.  The
-forward-only rate is reported alongside (`fwd_rays_per_sec`) for
-continuity with round 1.
+whose adjoint accumulates into ~27M texel targets per pass.  Both tiers
+carry their own vs_baseline field (round-over-round continuity: rounds
+1-2 reported all-params, round 3 switched value to mat; the r03 capture
+showed the two tiers rate-identical on this relay — the chain is
+dispatch-latency-bound, so tier compute is invisible).  The forward-only
+rate is reported alongside (`fwd_rays_per_sec`) for continuity with
+round 1.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 The denominator is the rate implied by its rtcamp6 submission —
@@ -44,6 +48,17 @@ GRAD_CHUNK = 1 << 23   # rays per value_and_grad chunk: the full 1080p x
                        # HBM fits (9 retained states + hits ~4.5 GB,
                        # verified by tools/grad_profile.py --rays 8388608)
 
+GRAD_SPAN = 3          # bounces per jitted fwd/bwd program (must divide
+                       # the 9-bounce depth).  The same latency analysis
+                       # says the chain cost is per-dispatch overhead, so
+                       # folding 3 bounces into one program cuts the
+                       # fwd+bwd dispatch count ~3x (diff/hostgrad.py;
+                       # per-bounce jax.checkpoint keeps each program's
+                       # transpose 1-bounce-shaped).  Grads are identical
+                       # to span=1 (tests/test_hostgrad.py).  TPU-path
+                       # only: --smoke runs span=1, the k-bounce program
+                       # is needlessly slow to compile on XLA:CPU.
+
 
 def main() -> int:
     import jax
@@ -65,9 +80,11 @@ def main() -> int:
     # driver invocation is argument-less (full 1080p on the chip);
     # --smoke WxH exists for cheap CPU plumbing checks
     width, height = 1920, 1080
+    span = GRAD_SPAN
     if "--smoke" in sys.argv:
         w_h = sys.argv[sys.argv.index("--smoke") + 1]
         width, height = (int(v) for v in w_h.split("x"))
+        span = 1
         import jax as _jax
 
         _jax.config.update("jax_platforms", "cpu")
@@ -123,7 +140,7 @@ def main() -> int:
         hg = HostGrad(rest, cs.camera,
                       direct_light_mode=cfg.direct_light_mode,
                       lens_shape=desc.camera.lens_shape,
-                      tex_channels=cs.tex_channels)
+                      tex_channels=cs.tex_channels, span=span)
 
         def one_grad_pass(seed_key):
             total = None
@@ -160,7 +177,11 @@ def main() -> int:
                 "unit": "rays/s",
                 "vs_baseline": vs,
                 "grad_params_tier": "mat",
+                "grad_span": span,
                 "fwd_bwd_all_params_rays_per_sec": fwdbwd_all_rays_per_sec,
+                "fwd_bwd_all_params_vs_baseline": (
+                    fwdbwd_all_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC
+                ),
                 "fwd_rays_per_sec": fwd_rays_per_sec,
                 "fwd_vs_baseline": fwd_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC,
                 "baseline_rays_per_sec": BASELINE_PRIMARY_RAYS_PER_SEC,

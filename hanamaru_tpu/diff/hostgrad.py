@@ -84,9 +84,21 @@ class HostGrad:
             # folded-away dispatch is relay latency off the critical path.
             def span_fn(p, st):
                 for j in range(span):
-                    st = _bounce_fn(p, rest, st, key, b0 + j,
-                                    direct_light_mode, hits=hits[j],
-                                    tex_channels=tex_channels)
+                    step = lambda p, st, j=j: _bounce_fn(
+                        p, rest, st, key, b0 + j,
+                        direct_light_mode, hits=hits[j],
+                        tex_channels=tex_channels)
+                    if span > 1:
+                        # per-bounce rematerialization: the transpose of k
+                        # unrolled bounces as ONE fused program sends
+                        # XLA:CPU compiles into the weeds (docs/perf.md);
+                        # checkpointing each bounce keeps the bwd program a
+                        # chain of k 1-bounce VJPs (recompute-from-input),
+                        # the same shape XLA already compiles well at
+                        # span=1, while still folding k dispatches into
+                        # one relay round-trip
+                        step = jax.checkpoint(step)
+                    st = step(p, st)
                 return st
 
             cot_params, cot_state = jax.vjp(span_fn, params, state)[1](cot_state)

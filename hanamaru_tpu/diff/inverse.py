@@ -147,12 +147,22 @@ def fit(
         train = dp.project(train)
         return train, opt_state, loss
 
+    # Polyak/EMA average with Adam-style bias correction: the accumulator
+    # starts at ZERO and the readout divides by (1 - decay^t), so the
+    # average carries no weight on the (wrong) starting point — an
+    # uncorrected EMA seeded at the initial parameters retains
+    # decay^steps (~22% at 150 steps) of the initialization in the
+    # reported estimate (advisor finding, round 3)
+    ema_decay = 0.99
+
     @jax.jit
     def ema_update(ema, train):
-        return jax.tree.map(lambda e, t: 0.99 * e + 0.01 * t, ema, train)
+        return jax.tree.map(
+            lambda e, t: ema_decay * e + (1.0 - ema_decay) * t, ema, train
+        )
 
     losses = []
-    ema = train
+    ema = jax.tree.map(jnp.zeros_like, train)
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
         train, opt_state, loss = step(
@@ -162,7 +172,12 @@ def fit(
         losses.append(float(loss))
         if verbose and (i % 10 == 0 or i == steps - 1):
             print(f"step {i}: loss {losses[-1]:.6f}")
+    if steps > 0:
+        corr = 1.0 - ema_decay ** steps
+        ema_avg = jax.tree.map(lambda e: e / corr, ema)
+    else:
+        ema_avg = train
     return FitResult(
         params={**frozen, **train}, losses=losses,
-        ema_params={**frozen, **dp.project(ema)},
+        ema_params={**frozen, **dp.project(ema_avg)},
     )

@@ -46,7 +46,8 @@ LIGHT_GEOM_FIELDS: tuple[str, ...] = (
     "sph_cx", "sph_cy", "sph_cz", "sph_radius",
 )
 
-# Named parameter tiers (CLI --grad-params / bench.py).  "mat" is the
+# Named parameter tiers (bench.py measures "mat" and "all"; the render
+# CLI computes no gradients, so it takes no tier flag).  "mat" is the
 # scalar tier — every per-material BSDF scalar plus the skybox intensity
 # knob, i.e. the parameters inverse-rendering workflows actually fit
 # (diff/inverse.py, docs/inverse/) — and excludes the texel arrays whose

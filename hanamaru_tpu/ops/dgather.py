@@ -111,7 +111,11 @@ def sorted_segment_add(idx, cts: Sequence[jax.Array], size: int):
     Term order inside a segment is the sorted order (an f32 cumsum
     difference), so results match a scatter to f32 reduction tolerance.
     """
-    m = idx.shape[0]
+    if idx.shape[0] == 0:
+        # concatenate([ones(1,bool), empty]) below would yield shape (1,)
+        # against a zero-length s_idx and crash jnp.where (advisor
+        # finding, round 3); an empty scatter is just zeros
+        return tuple(jnp.zeros((size,), ct.dtype) for ct in cts)
     sorted_ops = jax.lax.sort((idx,) + tuple(cts), num_keys=1)
     s_idx, s_cts = sorted_ops[0], sorted_ops[1:]
     neighbor_diff = s_idx[1:] != s_idx[:-1]

@@ -96,3 +96,14 @@ def test_sorted_segment_add_empty_and_single_segment():
     )(idx, ct)
     assert float(out[7]) == pytest.approx(1000.0, rel=1e-6)
     assert float(jnp.abs(out).sum()) == pytest.approx(1000.0, rel=1e-6)
+
+
+def test_sorted_segment_add_zero_length_idx():
+    # latent trap fixed in round 4 (advisor): zero-length idx used to
+    # crash on the (1,)-vs-(0,) concatenate inside the segment bounds
+    outs = jax.jit(
+        lambda i, c: dgather.sorted_segment_add(i, (c, c), 16)
+    )(jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.float32))
+    for out in outs:
+        assert out.shape == (16,)
+        assert float(jnp.abs(out).sum()) == 0.0

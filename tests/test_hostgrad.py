@@ -1,7 +1,10 @@
-"""Host-chained VJP equals jax.grad over the scan-based trace."""
+"""Host-chained VJP equals jax.grad over the scan-based trace —
+at span=1 (one bounce per jitted call) and at span>1 (k bounces folded
+into one program with per-bounce jax.checkpoint; docs/perf.md)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hanamaru_tpu.diff import params as dp
 from hanamaru_tpu.diff.hostgrad import HostGrad
@@ -23,7 +26,14 @@ from hanamaru_tpu.scene.desc import (
 T = TextureDesc
 
 
-def test_hostgrad_matches_scan_grad():
+BOUNCES = 4
+
+
+@pytest.fixture(scope="module")
+def scan_reference():
+    """Tiny 3-element scene + jax.grad over the scan-based trace, computed
+    ONCE and shared by every span case (the scan-grad compile dominates
+    this file's runtime)."""
     scene = SceneDesc(
         camera=CameraDesc(eye=(0, 2, 5), target=(0, 0, 0), v_fov=25.0,
                           aperture=0.1, focus_distance=5.0),
@@ -42,29 +52,68 @@ def test_hostgrad_matches_scan_grad():
     params, rest = dp.split(arrays)
     nc = normalized_coords(16, 12, 1)
     key = jax.random.PRNGKey(5)
-    bounces = 4
 
     def loss_on_acc(acc):
         return (acc.x + acc.y + acc.z).mean()
-
-    hg = HostGrad(rest, cs.camera, lens_shape="circle")
-    loss_h, grads_h = hg.value_and_grad(params, nc, key, bounces, loss_on_acc)
 
     # scan-based reference: identical rng streams (render_pass uses the same
     # key split discipline as HostGrad.radiance/raygen)
     def loss_scan(p):
         arr = dp.merge(p, rest)
-        rad = integrator.render_pass(arr, cs.camera, nc, key, bounces)
+        rad = integrator.render_pass(arr, cs.camera, nc, key, BOUNCES)
         return loss_on_acc(rad)
 
     loss_s, grads_s = jax.jit(jax.value_and_grad(loss_scan))(params)
+    return dict(cs=cs, params=params, rest=rest, nc=nc, key=key,
+                loss_on_acc=loss_on_acc, loss_s=loss_s, grads_s=grads_s)
 
-    np.testing.assert_allclose(float(loss_h), float(loss_s), rtol=1e-5)
-    for k in grads_s:
+
+def test_hostgrad_matches_scan_grad(scan_reference):
+    """span=1: the host chain's building block vs jax.grad over the scan."""
+    r = scan_reference
+    hg = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle")
+    loss_h, grads_h = hg.value_and_grad(
+        r["params"], r["nc"], r["key"], BOUNCES, r["loss_on_acc"])
+
+    np.testing.assert_allclose(float(loss_h), float(r["loss_s"]), rtol=1e-5)
+    for k in r["grads_s"]:
         np.testing.assert_allclose(
             np.asarray(jnp.asarray(jax.tree.leaves(grads_h[k])[0])),
-            np.asarray(jnp.asarray(jax.tree.leaves(grads_s[k])[0])),
+            np.asarray(jnp.asarray(jax.tree.leaves(r["grads_s"][k])[0])),
             rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+
+
+@pytest.mark.slow
+def test_hostgrad_span2_matches_span1(scan_reference):
+    """span=2 (two bounces folded into one jitted program: unrolled VJP,
+    per-bounce jax.checkpoint, hit-replay indexing across the span) must
+    produce the gradients of the span=1 chain — which the default-suite
+    test above pins to jax.grad over the scan trace, so equality here is
+    transitively equality with the scan gradient at the same rtol.
+
+    Slow tier: XLA:CPU needs ~4-6 min to compile the 2-bounce transpose
+    (measured 2026-08-21; per-bounce jax.checkpoint does not help the
+    CPU backend's compile pathology — docs/perf.md "span" notes).  The
+    production span=3 x 9-bounce configuration is exercised on the TPU
+    backend by bench.py / tools/grad_profile.py --span, where the span
+    fold is a measured dispatch-latency win rather than a compile
+    liability."""
+    r = scan_reference
+    bounces = 2
+    hg1 = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle", span=1)
+    loss_1, grads_1 = hg1.value_and_grad(
+        r["params"], r["nc"], r["key"], bounces, r["loss_on_acc"])
+    hg2 = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle", span=2)
+    loss_2, grads_2 = hg2.value_and_grad(
+        r["params"], r["nc"], r["key"], bounces, r["loss_on_acc"])
+
+    np.testing.assert_allclose(float(loss_2), float(loss_1), rtol=1e-5)
+    for k in grads_1:
+        np.testing.assert_allclose(
+            np.asarray(jnp.asarray(jax.tree.leaves(grads_2[k])[0])),
+            np.asarray(jnp.asarray(jax.tree.leaves(grads_1[k])[0])),
+            rtol=2e-4, atol=1e-6, err_msg=f"{k} (span=2 vs span=1)",
         )
 
 

@@ -22,6 +22,12 @@ def main() -> int:
     ap.add_argument("--rays", type=int, default=1 << 21)
     ap.add_argument("--bounces", type=int, default=9)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--span", type=int, default=1,
+        help="bounces per jitted fwd/bwd program (must divide --bounces; "
+        "span>1 folds k dispatches into one — the relay-latency lever, "
+        "docs/perf.md)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -66,7 +72,7 @@ def main() -> int:
         rest = dp.merge({k: v for k, v in full_params.items()
                          if k not in params}, rest_full)
         hg = HostGrad(rest, cs.camera, lens_shape=desc.camera.lens_shape,
-                      tex_channels=cs.tex_channels)
+                      tex_channels=cs.tex_channels, span=args.span)
 
         # fwd-only chain
         acc = hg.radiance(params, nc, key, args.bounces)
@@ -88,6 +94,7 @@ def main() -> int:
 
         print(json.dumps({
             "case": name,
+            "span": args.span,
             "params": len(params),
             "fwd_secs": round(fwd, 4),
             "fwdbwd_secs": round(both, 4),
