@@ -6,10 +6,14 @@ Three tiers (VERDICT r1 item 4):
    intersection, shading, NEE, tonemap or filter semantics);
 2. cheap structural parity vs the reference's committed competition
    output (always on; downscaled luminance correlation);
-3. the converged multi-minute comparison (opt-in via RUN_GOLDEN=1).
-   The converged 1080p TPU artifact + compare stats belong in
-   docs/golden/ — docs/perf.md "Converged golden render (status)"
-   records each attempt; check there whether the artifact has landed.
+3. the committed converged artifact (docs/golden/, CPU-rendered 1080p —
+   landed round 4) re-validated against the reference every run: the
+   cross-implementation parity claim is machine-checked at the
+   luminance_corr >= 0.95 bar, not just the low-res corr > 0.8 gate;
+4. the converged multi-minute re-render comparison (opt-in via
+   RUN_GOLDEN=1).  A TPU-rendered 1080p artifact is still pending —
+   docs/perf.md "Converged golden render (status)" records each
+   relay-crashed attempt.
 
 All tier-1/2 renders run in ONE subprocess (tests/golden_runner.py): the
 scenes share a resolution, so the integrator programs compile once and
@@ -82,6 +86,23 @@ def test_rtcamp6_structure_vs_reference(rendered):
     assert stats["mean_abs_err"] < 0.08, stats
 
 
+def test_committed_golden_artifact_meets_converged_gate():
+    """The committed docs/golden artifact (CPU backend, 1920x1080, the
+    production progressive pipeline; provenance in docs/golden/) must
+    clear the converged parity bar against the reference's competition
+    render — VERDICT r3 item 6's machine-checked gate above 0.8.
+    Costs one image decode + downscale, so it runs in the default tier."""
+    png = os.path.join(_REPO, "docs", "golden", "rtcamp6_1080p_cpu.png")
+    assert os.path.exists(png), "docs/golden artifact missing from checkout"
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "compare_golden.py"), png],
+        capture_output=True, text=True, timeout=120,
+    )
+    stats = json.loads(r.stdout)
+    assert stats["luminance_corr"] >= 0.95, stats
+    assert stats["mean_abs_err"] < 0.05, stats
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("RUN_GOLDEN") != "1",
@@ -93,8 +114,9 @@ def test_rtcamp6_converged_matches_reference(tmp_path):
     Recorded results:
       2026-08-17, 12 passes @ 192x108 (CPU):
         luminance_corr=0.906, mean_abs_err=0.036, rmse=0.065
-    For the converged TPU artifact see docs/golden/ (status tracked in
-    docs/perf.md — relay crashes have repeatedly blocked extraction)."""
+    The committed converged artifact lives in docs/golden/ (CPU 1080p,
+    validated every run by the test above); a TPU-rendered one is still
+    blocked by relay crashes (docs/perf.md)."""
     out = tmp_path / "out"
     subprocess.run(
         [
