@@ -92,8 +92,22 @@ def test_inverse_demo_tool(tmp_path):
     # the red diffuse ball must have turned red-ward: r channel above g/b
     b0 = report["balls"]["ball0"]["recovered_albedo"]
     assert b0[0] > b0[1] and b0[0] > b0[2], b0
-    for name in ("target.png", "initial.png", "recovered.png"):
+    for name in ("target.png", "initial.png", "recovered.png",
+                 "recovered_params.npz"):
         assert (tmp_path / name).exists()
+
+    # warm-start refinement: resume from the recovered parameters (same
+    # process, so every jitted program is already compiled - cheap)
+    rc = inverse_demo.main([
+        "--width", "64", "--height", "40", "--steps", "4", "--restarts", "1",
+        "--target-spp", "2", "--warm-start", str(tmp_path / "recovered_params.npz"),
+        "--out-dir", str(tmp_path / "refine"),
+    ])
+    assert rc == 0
+    refined = json.load(open(tmp_path / "refine" / "report.json"))
+    # a 4-step refinement must not undo the first run's red-ward recovery
+    rb0 = refined["balls"]["ball0"]["recovered_albedo"]
+    assert rb0[0] > rb0[1] and rb0[0] > rb0[2], rb0
 
 
 def test_project_clamps_to_physical_domain():

@@ -55,6 +55,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     "(the GGX ball's loss landscape has a spurious "
                     "dark-albedo/high-roughness basin under MC noise)")
     ap.add_argument("--eval-spp", type=int, default=8)
+    ap.add_argument("--warm-start", type=str, default=None,
+                    help="recovered_params.npz from a previous run: start "
+                    "every restart from it instead of the published "
+                    "all-white scene (the refine-at-higher-resolution "
+                    "workflow docs/inverse/README.md prescribes for the "
+                    "glossy-ball identifiability limit)")
     return ap
 
 
@@ -125,7 +131,28 @@ def main(argv=None) -> int:
 
     target = preview(true_params, key, args.target_spp,
                      os.path.join(args.out_dir, "target.png"))
-    preview(init_params, key, args.target_spp,
+
+    # params are a dict of pytrees, not of bare arrays (sky_intensity is
+    # a Vec3 of scalars), so persistence flattens with jax key paths and
+    # reloads against init_params' treedef
+    import jax.tree_util as jtu
+
+    fit_init = init_params
+    if args.warm_start:
+        loaded = dict(np.load(args.warm_start))
+        flat_init, treedef = jtu.tree_flatten_with_path(init_params)
+        known = {jtu.keystr(kp) for kp, _ in flat_init}
+        unknown = set(loaded) - known
+        assert not unknown, f"warm-start has unknown leaves: {unknown}"
+        leaves = [
+            jnp.asarray(loaded[jtu.keystr(kp)])
+            if jtu.keystr(kp) in loaded else v
+            for kp, v in flat_init
+        ]
+        fit_init = jtu.tree_unflatten(treedef, leaves)
+        print(f"# warm start from {args.warm_start} "
+              f"({len(loaded)} leaves)", file=sys.stderr)
+    preview(fit_init, key, args.target_spp,
             os.path.join(args.out_dir, "initial.png"))
 
     mesh = make_mesh() if jax.device_count() > 1 else None
@@ -159,14 +186,19 @@ def main(argv=None) -> int:
     candidates = []
     for restart in range(max(args.restarts, 1)):
         result = fit(
-            cs, target, init_params, W, H,
+            cs, target, fit_init, W, H,
             steps=args.steps, lr=args.lr, num_bounces=args.num_bounces,
             spp=args.spp, seed=args.seed + 1000 * restart,
             param_filter=lambda name: name in wanted,
             verbose=True, mesh=mesh,
             lr_end=args.lr_end or None,
         )
-        cand = result.ema_params or result.params
+        # pull the candidate off the mesh: fitted leaves are replicated
+        # 8-device arrays, and feeding those to the EAGER held-out /
+        # preview renders forces a slow multi-device lowering of every op
+        # (measured: the round-4 recovered-preview took ~35 min sharded
+        # vs ~6 min single-device)
+        cand = jax.tree.map(np.asarray, result.ema_params or result.params)
         err = heldout_err(cand)
         print(f"# restart {restart}: heldout {err:.5f}", file=sys.stderr)
         candidates.append((err, restart, cand, result))
@@ -177,6 +209,11 @@ def main(argv=None) -> int:
     # final iterate carries step-to-step MC jitter the average does not
     preview(best, key, args.target_spp,
             os.path.join(args.out_dir, "recovered.png"))
+    # persist the recovered parameters for --warm-start refinement runs
+    # (key-path flattened: some leaves live inside Vec3 pytrees)
+    flat_best, _ = jtu.tree_flatten_with_path(best)
+    np.savez(os.path.join(args.out_dir, "recovered_params.npz"),
+             **{jtu.keystr(kp): np.asarray(v) for kp, v in flat_best})
 
     # report: true vs recovered for every perturbed channel
     report = {"losses_first": result.losses[0], "losses_last": result.losses[-1],
