@@ -3,9 +3,19 @@
 # behind a serializing relay; overlapping or killed jobs wedge it for
 # ~10 min).  Each step logs to $OUT/<step>.log; a failed/hung step is
 # followed by a cool-down before the next.
+#
+# Round-4 policy updates (docs/perf.md, 2026-08-21):
+#   * IDLE THE HOST first — CPU load throttles the dispatch loop and
+#     depresses every capture (fwd 2.1e9 loaded vs 3.55e9 idle).
+#   * bench.py runs FIRST (no d2h at all, warms the persistent cache).
+#   * compact_bench is RETIRED on this relay: its per-chunk live-count
+#     sync crashed the TPU worker three rounds running.
+#   * pallas_bench is retired with the Pallas traversal (worker-crash).
+#   * the TPU golden render has crashed the worker 7/7 attempts; the
+#     committed parity artifact is the CPU render in docs/golden/.
 set -u
 OUT=${1:-/tmp/tpu_session}
-mkdir -p "$OUT" docs/golden docs/inverse
+mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
 probe() {
@@ -20,7 +30,7 @@ wait_healthy() {
   for i in 1 2 3 4 5 6; do
     if probe; then
       last=$(tail -1 "$OUT/probe.log" | awk '{print $2}')
-      ok=$(python -c "print(1 if float('$last' or 1e9) < 5.0 else 0)" 2>/dev/null || echo 0)
+      ok=$(python -c "print(1 if float('$last' or 1e9) < 30.0 else 0)" 2>/dev/null || echo 0)
       [ "$ok" = "1" ] && return 0
     fi
     echo "relay unhealthy (attempt $i), cooling down 300s" >> "$OUT/probe.log"
@@ -40,23 +50,8 @@ run_step() {
   return $rc
 }
 
-run_step pallas_bench 900 python -u tools/pallas_bench.py --res 1024 512 --reps 5
+run_step bench 3000 python -u bench.py
 
-run_step compact_bench 1200 python -u tools/compact_bench.py --res 1920 1080 --reps 5
-
-run_step bench 1500 python -u bench.py
-
-run_step golden_render 1500 python -u -m hanamaru_tpu -w 1920 -h 1080 -s 1000 \
-    -t 3000 -i 999999 --out-dir /tmp/golden_tpu
-if [ -f /tmp/golden_tpu/result.png ]; then
-  cp /tmp/golden_tpu/result.png docs/golden/rtcamp6_1080p_1000pass_tpu.png
-  python tools/compare_golden.py docs/golden/rtcamp6_1080p_1000pass_tpu.png --scale 2 \
-      > docs/golden/compare_scale2.json 2>> "$OUT/golden_render.log"
-  python tools/compare_golden.py docs/golden/rtcamp6_1080p_1000pass_tpu.png --scale 8 \
-      > docs/golden/compare_scale8.json 2>> "$OUT/golden_render.log"
-fi
-
-run_step inverse_demo 1800 python -u tools/inverse_demo.py \
-    --width 480 --height 270 --steps 150 --target-spp 16 --out-dir docs/inverse
+run_step grad_profile 2400 python -u tools/grad_profile.py --rays 8388608 --span 3 --reps 2
 
 echo "=== session done $(date -u +%H:%M:%S)" >> "$OUT/status.log"
