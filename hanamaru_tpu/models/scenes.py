@@ -3,10 +3,11 @@
 Each builder mirrors a reference scene constructor (reference:
 src/main.rs:54-1212) — cameras, materials, transforms and asset paths are
 value-for-value identical.  Procedurally placed elements (rtcamp5, tbf3,
-rtcamp6_v2) use a seeded numpy RandomState with the same collision-checked
-rejection loop (scene.rs:366-376); the RNG stream differs from Rust's
-StdRng, so placements are reproducible here but not bit-identical to the
-reference renders (documented deviation).
+rtcamp6_v2) draw from a bit-parity port of rand 0.3.22's StdRng
+(utils/stdrng.py) with the reference's seeds (main.rs:253, 503, 805)
+through the same collision-checked rejection loop (scene.rs:366-376), so
+the placements are bit-identical to the reference's (validated
+structurally against its committed rtcamp5.png / fractal.png renders).
 """
 from __future__ import annotations
 
@@ -16,6 +17,7 @@ import numpy as np
 
 from ..config import PI, PI2
 from ..scene import matrix as M
+from ..utils.stdrng import StdRng
 from ..scene.desc import (
     GGX,
     GGX_REFRACTION,
@@ -145,7 +147,7 @@ def _dia(px, py, pz, s, ry, rx) -> MeshDesc:
 @register("rtcamp5")
 def rtcamp5() -> SceneDesc:
     """main.rs:252-499 — bunnies + dias + seeded random placement."""
-    rng = np.random.RandomState(8702000)
+    rng = StdRng([870, 2000, 304, 2])   # main.rs:253
     scene = SceneDesc(
         name="rtcamp5",
         camera=CameraDesc(
@@ -221,7 +223,7 @@ def rtcamp5() -> SceneDesc:
 @register("tbf3")
 def tbf3() -> SceneDesc:
     """main.rs:502-722."""
-    rng = np.random.RandomState(8702001)
+    rng = StdRng([870, 2000, 304, 1])   # main.rs:503
     earth_mat = lambda alb, emi: MaterialDesc(GGX, 0.8, alb, emi, T.gray(0.01))
     scene = SceneDesc(
         name="tbf3",
@@ -314,7 +316,7 @@ def rtcamp6_v1() -> SceneDesc:
 @register("rtcamp6_v2")
 def rtcamp6_v2() -> SceneDesc:
     """main.rs:804-925 — 100 floating spheres + fractal dodecahedron."""
-    rng = np.random.RandomState(8702002)
+    rng = StdRng([870, 2000, 304, 2])   # main.rs:805
     scene = SceneDesc(
         name="rtcamp6_v2",
         camera=CameraDesc(
