@@ -102,6 +102,69 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+def _collective_ops(hlo_text: str) -> set[str]:
+    """HLO opcodes of every collective in an optimized module dump."""
+    import re
+
+    ops = set()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter", "collective-broadcast"):
+        # match the defining-instruction position (`<ty> <opcode>(`) — the
+        # type may be a tuple containing spaces (a multi-leaf psum lowers
+        # to ONE tuple-shaped all-reduce), so key on ` opcode(` which
+        # operand references (`%all-reduce.N`) can never produce
+        if re.search(rf" {op}(-start)?\(", hlo_text):
+            ops.add(op)
+    return ops
+
+
+def test_forward_render_compiles_with_zero_collectives():
+    """The structural claim behind linear multi-chip render scaling
+    (docs/perf.md "Multi-device scaling"): the forward pass shards rays
+    and replicates scene tables, so its optimized HLO must contain NO
+    cross-device communication at all — machine-checked here rather than
+    argued (VERDICT r4 item 6)."""
+    cs = compile_scene(_scene())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    mesh = make_mesh(8)
+    nc = normalized_coords(32, 16, 1)
+
+    compiled = (
+        jax.jit(lambda nc, k: render_pass_sharded(mesh, arrays, cs.camera, nc, k, 3))
+        .lower(nc, jax.random.PRNGKey(0))
+        .compile()
+    )
+    text = compiled.as_text()
+    assert _collective_ops(text) == set(), _collective_ops(text)
+
+
+def test_train_step_collectives_are_exactly_the_gradient_psum():
+    """The training step's only cross-device traffic is the pmean of the
+    (loss, grads) — an all-reduce — with no gathers/permutes smuggled in
+    by sharding propagation."""
+    cs = compile_scene(_scene())
+    arrays = jax.tree.map(jnp.asarray, cs.arrays)
+    params, rest = dp.split(arrays)
+    mesh = make_mesh(8)
+    nc = normalized_coords(16, 8, 1)
+    n = nc.x.shape[0]
+    target = Vec3(jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)))
+
+    compiled = (
+        jax.jit(
+            lambda p, nc, k, t: train_step_sharded(
+                mesh, p, rest, cs.camera, nc, k, t, num_bounces=3, lr=0.1
+            )
+        )
+        .lower(params, nc, jax.random.PRNGKey(1), target)
+        .compile()
+    )
+    text = compiled.as_text()
+    ops = _collective_ops(text)
+    assert "all-reduce" in ops, ops
+    assert not (ops - {"all-reduce"}), ops
+
+
 def test_progressive_renderer_on_mesh(tmp_path):
     """The full progressive renderer on an 8-device mesh produces a valid
     accumulation (sharded raygen/bounce/accumulate + gathering finalize)."""
