@@ -65,6 +65,10 @@ class RenderConfig:
 
     # rng
     seed: int = 8700304            # reference's base seed (renderer.rs:167)
+    # Reuse one uniform pair per bounce for both the BSDF sample and every
+    # NEE light sample, exactly like renderer.rs:175,183.  Default draws
+    # independent pairs (same marginals; see ops/integrator.py docstring).
+    strict_reference_rng: bool = False
 
     # device precision ("float32" on TPU; CPU oracle tests may use float64)
     dtype: str = "float32"

@@ -15,13 +15,14 @@ Accumulation order per bounce matches renderer.rs:174-200 exactly:
 NEE first (with the pre-update throughput), then emission (masked out when
 the BSDF sample was invalid), then the throughput update, then termination.
 
-Documented RNG deviation: the reference draws ONE (f64,f64) pair per bounce
-and reuses it for both the BSDF sample and every light's NEE surface sample
-(renderer.rs:175,183); `bounce_step` draws a fresh pair per purpose
-(k_bsdf / k_nee splits below).  Same marginal distributions, slightly lower
-estimator correlation — images converge to the same limit, but individual
-low-spp frames are not bit-comparable.  Kept deliberately: key-splitting is
-the idiomatic (and statistically safer) counter-based-RNG formulation.
+RNG pairing: the reference draws ONE (f64,f64) pair per bounce and reuses
+it for both the BSDF sample and every light's NEE surface sample
+(renderer.rs:175,183).  `strict_reference_rng=True` reproduces that
+coupling exactly (the k_bsdf pair is reused for NEE); the default draws a
+fresh pair per purpose (k_bsdf / k_nee splits below) — same marginal
+distributions (tests/test_integrator.py::test_strict_reference_rng_same_marginals),
+slightly lower estimator correlation, and the idiomatic (statistically
+safer) counter-based-RNG formulation, which is why it stays the default.
 """
 from __future__ import annotations
 
@@ -220,6 +221,7 @@ def bounce_step(
     hits=None,
     want_hits: bool = False,
     tex_channels: tuple[bool, bool, bool] = (True, True, True),
+    strict_reference_rng: bool = False,
 ) -> PathState:
     """One path vertex for the whole ray batch: intersect, shade, NEE,
     accumulate, advance (renderer.rs:174-200 body).
@@ -268,7 +270,11 @@ def bounce_step(
     shadow_rec = None
     if use_nee:
         nee_mask = sample_ok & bsdf.nee_available(pm.surface)
-        n1, n2 = _uniform_pair(k_nee, n, dtype, lane_ids, n_total)
+        if strict_reference_rng:
+            # the reference's shared per-bounce pair (renderer.rs:175,183)
+            n1, n2 = u1, u2
+        else:
+            n1, n2 = _uniform_pair(k_nee, n, dtype, lane_ids, n_total)
         nee, shadow_rec = next_event_estimation(
             s, bs.origin, view, surf.normal,
             pm.surface, pm.param, pm.roughness, pm.albedo, n1, n2,
@@ -316,6 +322,7 @@ def trace(
     num_bounces: int,
     direct_light_mode: str = "reference",
     tex_channels: tuple[bool, bool, bool] = (True, True, True),
+    strict_reference_rng: bool = False,
 ) -> Vec3:
     """Trace a batch of rays for `num_bounces` path vertices; returns
     accumulated radiance per ray.  lax.scan keeps the whole path in one
@@ -324,7 +331,8 @@ def trace(
     def body(state, bounce_idx):
         return (
             bounce_step(s, state, key, bounce_idx, direct_light_mode,
-                        tex_channels=tex_channels),
+                        tex_channels=tex_channels,
+                        strict_reference_rng=strict_reference_rng),
             None,
         )
 
@@ -341,6 +349,7 @@ def render_pass(
     lens_shape: str = "circle",
     direct_light_mode: str = "reference",
     tex_channels: tuple[bool, bool, bool] = (True, True, True),
+    strict_reference_rng: bool = False,
 ) -> Vec3:
     """One progressive pass: DoF primary rays for every (pixel, subsample)
     normalized coord, traced to radiance (renderer.rs:163-173)."""
@@ -349,7 +358,8 @@ def render_pass(
     u1, u2 = _uniform_pair(k_lens, n, nc.x.dtype)
     o, d = ray_with_dof(cam, nc, u1, u2, lens_shape)
     return trace(s, o, d, k_path, num_bounces, direct_light_mode,
-                 tex_channels=tex_channels)
+                 tex_channels=tex_channels,
+                 strict_reference_rng=strict_reference_rng)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["reference", "nee_clamp"],
     )
     p.add_argument(
+        "--strict-reference-rng", action="store_true",
+        help="reuse one uniform pair per bounce for the BSDF sample and "
+        "every NEE light sample, exactly like renderer.rs:175,183 "
+        "(default: independent pairs; identical marginals)",
+    )
+    p.add_argument(
         "--max-rays-per-chunk", type=int, default=None,
         help="rays per device dispatch (default 2^23 — best for TPU HBM; "
         "use ~2^18 on the CPU backend, where the lockstep BVH walk wants "
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
         report_interval_sec=args.interval,
         seed=args.seed,
         direct_light_mode=args.direct_light_mode,
+        strict_reference_rng=args.strict_reference_rng,
         compact_from_bounce=args.compact_from_bounce,
         traversal=args.traversal,
         **(

@@ -134,6 +134,7 @@ def _pass_fn(
             direct_light_mode=cfg.direct_light_mode,
             traversal=cfg.traversal,
             tex_channels=tex_channels,
+            strict_reference_rng=cfg.strict_reference_rng,
         )
 
     def bounce_compact_fn(arrays, state, key, bounce_idx, lane_ids):
@@ -143,6 +144,7 @@ def _pass_fn(
             lane_ids=lane_ids, n_total=chunk,
             traversal=cfg.traversal,
             tex_channels=tex_channels,
+            strict_reference_rng=cfg.strict_reference_rng,
         )
 
     def accumulate_fn(rad: Vec3, acc: Vec3, chunk_idx) -> Vec3:

@@ -147,6 +147,39 @@ def test_direct_light_double_count_reference_vs_clamp():
     assert ref > clamp * 1.3, (ref, clamp)
 
 
+def test_strict_reference_rng_same_marginals():
+    """strict_reference_rng=True shares one uniform pair per bounce
+    between the BSDF sample and NEE (renderer.rs:175,183).  Per-lane
+    values change (the NEE randoms are now the BSDF randoms), but the
+    estimator's expectation is identical — both modes must agree with
+    the analytic direct-light value of the NEE scene above."""
+    L = 50.0
+    scene = SceneDesc(
+        camera=CameraDesc(eye=(0, 1, 5), target=(0, 0, 0)),
+        elements=[
+            CuboidDesc((-20, -1, -20), (20, 0, 20), MaterialDesc(
+                DIFFUSE, albedo=T.gray(0.6))),
+            SphereDesc((0, 2, 0), 0.1, MaterialDesc(
+                DIFFUSE, albedo=T.black(), emission=T.gray(L))),
+        ],
+        skybox=SkyboxDesc(),
+    )
+    n = 4096
+    o, d = _rays_toward((0.5, 0.0, 0.0), n, origin=(0.5, 3.0, 0.0))
+    loose = _trace_scene(scene, o, d, bounces=2, direct_light_mode="nee_clamp")
+    strict = _trace_scene(scene, o, d, bounces=2, direct_light_mode="nee_clamp",
+                          strict_reference_rng=True)
+    lm = float(np.asarray(loose.x).mean())
+    sm = float(np.asarray(strict.x).mean())
+    dvec = np.array([-0.5, 2.0, 0.0])
+    dist2 = dvec @ dvec
+    expect = 0.6 * L * (dvec / np.sqrt(dist2))[1] * (0.1 ** 2) / dist2
+    assert sm == pytest.approx(expect, rel=0.1), (sm, expect)
+    assert sm == pytest.approx(lm, rel=0.1), (sm, lm)
+    # but the coupling really changed: per-lane radiance is not identical
+    assert not np.allclose(np.asarray(strict.x), np.asarray(loose.x))
+
+
 def test_render_pass_finite_on_full_scene():
     from hanamaru_tpu import models
 
