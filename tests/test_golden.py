@@ -131,8 +131,10 @@ def test_committed_golden_artifact_meets_converged_gate():
     # JSONDecodeError (advisor finding, round 4)
     assert r.returncode in (0, 1), f"compare_golden failed: {r.stderr}"
     stats = json.loads(r.stdout)
-    assert stats["luminance_corr"] >= 0.95, stats
-    assert stats["mean_abs_err"] < 0.05, stats
+    # ratcheted round 5 (VERDICT r4 item 3) from 0.95/0.05: the 12-pass
+    # refresh measures 0.9912/0.0162, so the bar rises with the artifact
+    assert stats["luminance_corr"] >= 0.98, stats
+    assert stats["mean_abs_err"] < 0.03, stats
 
 
 @pytest.mark.slow
