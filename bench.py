@@ -48,16 +48,20 @@ GRAD_CHUNK = 1 << 23   # rays per value_and_grad chunk: the full 1080p x
                        # HBM fits (9 retained states + hits ~4.5 GB,
                        # verified by tools/grad_profile.py --rays 8388608)
 
-GRAD_SPAN = 3          # bounces per jitted fwd/bwd program (must divide
+GRAD_SPAN = 9          # bounces per jitted fwd/bwd program (must divide
                        # the 9-bounce depth).  The same latency analysis
                        # says the chain cost is per-dispatch overhead, so
-                       # folding 3 bounces into one program cuts the
-                       # fwd+bwd dispatch count ~3x (diff/hostgrad.py;
+                       # folding k bounces into one program cuts the
+                       # fwd+bwd dispatch count ~k-fold (diff/hostgrad.py;
                        # per-bounce jax.checkpoint keeps each program's
                        # transpose 1-bounce-shaped).  Grads are identical
-                       # to span=1 (tests/test_hostgrad.py).  TPU-path
-                       # only: --smoke runs span=1, the k-bounce program
-                       # is needlessly slow to compile on XLA:CPU.
+                       # to span=1 (tests/test_hostgrad.py).  With span ==
+                       # num_bounces the whole pass further fuses into ONE
+                       # dispatch (value_and_grad_fused: raygen + forward
+                       # + loss + VJP in a single program — round-5 sweep,
+                       # docs/perf.md).  TPU-path only: --smoke runs
+                       # span=1 chained, the k-bounce program is
+                       # needlessly slow to compile on XLA:CPU.
 
 
 def main() -> int:
@@ -142,10 +146,13 @@ def main() -> int:
                       lens_shape=desc.camera.lens_shape,
                       tex_channels=cs.tex_channels, span=span)
 
+        vag = (hg.value_and_grad_fused if span == cfg.num_bounces
+               else hg.value_and_grad)
+
         def one_grad_pass(seed_key):
             total = None
             for ci, nc in enumerate(chunks):
-                _, g = hg.value_and_grad(
+                _, g = vag(
                     params, nc, jax.random.fold_in(seed_key, ci),
                     cfg.num_bounces, loss_on_acc,
                 )
@@ -178,6 +185,7 @@ def main() -> int:
                 "vs_baseline": vs,
                 "grad_params_tier": "mat",
                 "grad_span": span,
+                "grad_fused": span == cfg.num_bounces,
                 "fwd_bwd_all_params_rays_per_sec": fwdbwd_all_rays_per_sec,
                 "fwd_bwd_all_params_vs_baseline": (
                     fwdbwd_all_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC

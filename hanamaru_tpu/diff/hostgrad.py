@@ -106,8 +106,7 @@ class HostGrad:
                 return cot_params, cot_state
             return jax.tree.map(jnp.add, grads_in, cot_params), cot_state
 
-        @jax.jit
-        def raygen(nc: Vec2, key):
+        def raygen_body(nc: Vec2, key):
             n = nc.x.shape[0]
             k_lens, _ = jax.random.split(key)
             k1, k2 = jax.random.split(k_lens)
@@ -116,11 +115,17 @@ class HostGrad:
             o, d = ray_with_dof(cam, nc, u1, u2, lens_shape)
             return integrator.init_path_state(o, d)
 
+        raygen = jax.jit(raygen_body)
+
         @jax.jit
         def add(a, b):
             return jax.tree.map(jnp.add, a, b)
 
         self._fwd, self._bwd, self._raygen, self._add = fwd, bwd, raygen, add
+        self._raygen_body = raygen_body
+        self._direct_light_mode = direct_light_mode
+        self._tex_channels = tex_channels
+        self._lens_shape = lens_shape
         # jitted loss->cotangent programs, keyed (weakly) by the loss
         # callable: a fresh jit closure per value_and_grad call would be a
         # fresh jit cache entry, i.e. a full (remote, 15-25 s) recompile
@@ -130,6 +135,9 @@ class HostGrad:
         import weakref
 
         self._loss_cot = weakref.WeakKeyDictionary()
+        # fused single-dispatch fwd+loss+bwd programs (value_and_grad_fused),
+        # same weak keying per loss callable
+        self._fused = weakref.WeakKeyDictionary()
 
     def radiance(self, params, nc: Vec2, key, num_bounces: int) -> Vec3:
         assert num_bounces % self.span == 0, (num_bounces, self.span)
@@ -177,3 +185,58 @@ class HostGrad:
                 hit_recs[si], cot_state, grads,
             )
         return loss, grads
+
+    def value_and_grad_fused(self, params, nc: Vec2, key, num_bounces: int,
+                             loss_on_acc):
+        """Single-dispatch fwd+loss+bwd: the whole chain — ray generation,
+        the `num_bounces` forward walk, the loss, its cotangent, and the
+        hit-replay VJP back to the parameters — as ONE jitted program.
+
+        Requires span == num_bounces (one span covers the path).  On the
+        serializing TPU relay this removes every inter-program round-trip
+        the host-chained variant pays (measured round 5, docs/perf.md:
+        span=9 chained = 4 dispatches/pass at 9.2e8 rays/s; fused = 1
+        dispatch), at the price of one compile of a fwd+bwd-sized program.
+        Gradients are identical to the chained path (the VJP replays the
+        forward's packed hit records exactly like `_bwd`; verified in
+        tests/test_hostgrad.py).  TPU-path lever: the k-bounce transpose
+        is a pathologically slow *compile* on XLA:CPU (docs/perf.md), so
+        CPU flows keep the chained span=1 path."""
+        assert num_bounces == self.span, (num_bounces, self.span)
+        span = self.span
+        fused = self._fused.get(loss_on_acc)
+        if fused is None:
+            direct_light_mode = self._direct_light_mode
+            tex_channels = self._tex_channels
+            raygen_body = self._raygen_body
+
+            @jax.jit
+            def fused(params, rest, nc, key):
+                state0 = raygen_body(nc, key)
+                _, k_path = jax.random.split(key)
+                # live forward records the packed hit decisions
+                st, hits = state0, []
+                for j in range(span):
+                    st, h = _bounce_fn(params, rest, st, k_path, j,
+                                       direct_light_mode, want_hits=True,
+                                       tex_channels=tex_channels)
+                    hits.append(h)
+                loss, loss_vjp = jax.vjp(lambda s: loss_on_acc(s.acc), st)
+                (cot_state,) = loss_vjp(jnp.ones((), loss.dtype))
+
+                def span_fn(p, s):
+                    for j in range(span):
+                        step = lambda p, s, j=j: _bounce_fn(
+                            p, rest, s, k_path, j, direct_light_mode,
+                            hits=hits[j], tex_channels=tex_channels)
+                        if span > 1:
+                            # per-bounce remat, same rationale as _bwd
+                            step = jax.checkpoint(step)
+                        s = step(p, s)
+                    return s
+
+                cot_params, _ = jax.vjp(span_fn, params, state0)[1](cot_state)
+                return loss, cot_params
+
+            self._fused[loss_on_acc] = fused
+        return fused(params, self.rest, nc, key)

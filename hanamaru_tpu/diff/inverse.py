@@ -58,6 +58,7 @@ def fit(
     verbose: bool = False,
     mesh=None,
     lr_end: Optional[float] = None,
+    extra_views: Optional[list] = None,
 ) -> FitResult:
     """Adam-fit the differentiable scene parameters to a target radiance
     image rendered at (width, height) with supersampling off.
@@ -65,11 +66,23 @@ def fit(
     With a `mesh`, rays and the target shard over the ray axis and the
     per-shard gradients pmean over ICI inside a shard_map (parameters and
     the Adam state stay replicated) — the multi-chip trainer BASELINE.json
-    config 5 calls for."""
+    config 5 calls for.
+
+    `extra_views`: optional list of (CameraArrays, nc Vec2, target Vec3)
+    tuples fitted jointly with the primary view (equal weight per view:
+    the loss is the mean of the per-view paired losses).  Multi-view
+    observation is the classic cure for single-image ambiguities — for
+    this project, the glossy-ball (albedo, roughness) degeneracy
+    docs/inverse/README.md characterizes: a second camera that resolves
+    the highlight pins parameters one wide view cannot."""
     arrays = jax.tree.map(jnp.asarray, cs.arrays)
     _, rest = dp.split(arrays)
     nc = normalized_coords(width, height, 1)
     keep = param_filter or (lambda name: True)
+
+    views_cam = [cs.camera] + [v[0] for v in (extra_views or [])]
+    views_nc = tuple([nc] + [v[1] for v in (extra_views or [])])
+    views_tgt = tuple([target] + [v[2] for v in (extra_views or [])])
 
     # only optimize selected fields; the rest stay fixed in `frozen`
     train = {k: v for k, v in init_params.items() if keep(k)}
@@ -87,7 +100,7 @@ def fit(
         opt = optax.adam(lr)
     opt_state = opt.init(train)
 
-    def loss_fn(train, rest, nc, key, target):
+    def loss_fn(train, rest, ncs, key, targets):
         """Unbiased squared-error surrogate for Monte-Carlo renders.
 
         A plain MSE of a 1-spp render against the target is biased: its
@@ -96,20 +109,26 @@ def fit(
         noise).  Using two independent renders A, B and
         E[(A-t)(B-t)] = (E[render]-t)^2 removes the variance term — the
         standard paired-sample trick in differentiable Monte-Carlo
-        rendering."""
+        rendering.  Multi-view: mean of the per-view paired losses (the
+        cameras are tiny static constants, closed over)."""
         arr = dp.merge({**frozen, **train}, rest)
-        ka, kb = jax.random.split(key)
         tc = cs.tex_channels
-        a = render_radiance(arr, cs.camera, nc, ka, num_bounces, spp, tex_channels=tc)
-        b = render_radiance(arr, cs.camera, nc, kb, num_bounces, spp, tex_channels=tc)
-        da = a - target
-        db = b - target
-        return (da.x * db.x + da.y * db.y + da.z * db.z).mean()
+        total = 0.0
+        for vi, (cam_v, nc_v, tgt_v) in enumerate(zip(views_cam, ncs, targets)):
+            # single-view keeps the historical key derivation exactly
+            kv = key if len(views_cam) == 1 else jax.random.fold_in(key, vi)
+            ka, kb = jax.random.split(kv)
+            a = render_radiance(arr, cam_v, nc_v, ka, num_bounces, spp, tex_channels=tc)
+            b = render_radiance(arr, cam_v, nc_v, kb, num_bounces, spp, tex_channels=tc)
+            da = a - tgt_v
+            db = b - tgt_v
+            total = total + (da.x * db.x + da.y * db.y + da.z * db.z).mean()
+        return total / len(views_cam)
 
     if mesh is None:
 
-        def value_and_grad(train, rest, nc, key, target):
-            return jax.value_and_grad(loss_fn)(train, rest, nc, key, target)
+        def value_and_grad(train, rest, ncs, key, targets):
+            return jax.value_and_grad(loss_fn)(train, rest, ncs, key, targets)
 
     else:
         from jax.sharding import PartitionSpec as P
@@ -117,6 +136,12 @@ def fit(
         from ..parallel.mesh import RAY_AXIS
 
         ray_p = P(RAY_AXIS)
+        n_dev = mesh.devices.size
+        for v_nc in views_nc:
+            assert v_nc.x.shape[0] % n_dev == 0, (
+                f"view ray count {v_nc.x.shape[0]} must divide the "
+                f"{n_dev}-device mesh"
+            )
 
         def shard_fn(train, rest, nc_s, key, tgt_s):
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
@@ -129,15 +154,16 @@ def fit(
 
         value_and_grad = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), Vec2(ray_p, ray_p), P(),
-                      Vec3(ray_p, ray_p, ray_p)),
+            in_specs=(P(), P(),
+                      tuple(Vec2(ray_p, ray_p) for _ in views_cam), P(),
+                      tuple(Vec3(ray_p, ray_p, ray_p) for _ in views_cam)),
             out_specs=(P(), P()),
             check_vma=False,
         )
 
     @jax.jit
-    def step(train, opt_state, rest, nc, key, target):
-        loss, grads = value_and_grad(train, rest, nc, key, target)
+    def step(train, opt_state, rest, ncs, key, targets):
+        loss, grads = value_and_grad(train, rest, ncs, key, targets)
         updates, opt_state = opt.update(grads, opt_state)
         train = optax.apply_updates(train, updates)
         # projected Adam: clamp each field into its physical domain
@@ -166,7 +192,8 @@ def fit(
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
         train, opt_state, loss = step(
-            train, opt_state, rest, nc, jax.random.fold_in(key, i), target
+            train, opt_state, rest, views_nc, jax.random.fold_in(key, i),
+            views_tgt,
         )
         ema = ema_update(ema, train)
         losses.append(float(loss))

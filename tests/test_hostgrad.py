@@ -117,6 +117,55 @@ def test_hostgrad_span2_matches_span1(scan_reference):
         )
 
 
+def test_hostgrad_fused_matches_chain(scan_reference):
+    """value_and_grad_fused (raygen+fwd+loss+VJP as ONE program, the
+    round-5 single-dispatch lever) equals the chained path at
+    span=1 / 1 bounce — the cheapest compile that still exercises the
+    whole fused wiring (in-program raygen, in-program loss cotangent,
+    hit-replay VJP)."""
+    r = scan_reference
+    hg = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle", span=1)
+    loss_c, grads_c = hg.value_and_grad(
+        r["params"], r["nc"], r["key"], 1, r["loss_on_acc"])
+    loss_f, grads_f = hg.value_and_grad_fused(
+        r["params"], r["nc"], r["key"], 1, r["loss_on_acc"])
+
+    np.testing.assert_allclose(float(loss_f), float(loss_c), rtol=1e-6)
+    for k in grads_c:
+        for lc, lf in zip(jax.tree.leaves(grads_c[k]),
+                          jax.tree.leaves(grads_f[k])):
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(lc),
+                rtol=2e-5, atol=1e-7, err_msg=f"{k} (fused vs chain)",
+            )
+
+
+@pytest.mark.slow
+def test_hostgrad_fused_span2_matches_chain(scan_reference):
+    """Fused program at span=2 over 2 bounces (per-bounce jax.checkpoint
+    inside the fused VJP) vs the span=1 chained path.  Slow tier for the
+    same XLA:CPU k-bounce-transpose compile cost as the span=2 chained
+    case above; the production span=9 fused configuration runs on the
+    TPU backend (bench.py)."""
+    r = scan_reference
+    bounces = 2
+    hg1 = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle", span=1)
+    loss_1, grads_1 = hg1.value_and_grad(
+        r["params"], r["nc"], r["key"], bounces, r["loss_on_acc"])
+    hg2 = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle", span=2)
+    loss_f, grads_f = hg2.value_and_grad_fused(
+        r["params"], r["nc"], r["key"], bounces, r["loss_on_acc"])
+
+    np.testing.assert_allclose(float(loss_f), float(loss_1), rtol=1e-5)
+    for k in grads_1:
+        for lc, lf in zip(jax.tree.leaves(grads_1[k]),
+                          jax.tree.leaves(grads_f[k])):
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(lc),
+                rtol=2e-4, atol=1e-6, err_msg=f"{k} (fused span=2 vs chain)",
+            )
+
+
 def test_hostgrad_radiance_matches_render_pass():
     from hanamaru_tpu import models
 

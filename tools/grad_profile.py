@@ -28,6 +28,18 @@ def main() -> int:
         "span>1 folds k dispatches into one — the relay-latency lever, "
         "docs/perf.md)",
     )
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="use HostGrad.value_and_grad_fused (single-dispatch "
+        "fwd+loss+bwd; requires --span == --bounces)",
+    )
+    ap.add_argument(
+        "--cases", default="all_params,no_atlas,mat_scalars_only",
+        help="comma-separated subset of parameter-tier cases to run "
+        "(each case compiles its own fwd/bwd program set — on the "
+        "remote TPU compile service that is minutes per case, so span "
+        "sweeps restrict to the tiers they report)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,6 +79,10 @@ def main() -> int:
         "mat_scalars_only": {k: v for k, v in full_params.items()
                              if k.startswith("mat_")},
     }
+    wanted_cases = [c.strip() for c in args.cases.split(",") if c.strip()]
+    unknown = set(wanted_cases) - set(cases)
+    assert not unknown, f"unknown cases: {unknown} (have {list(cases)})"
+    cases = {k: cases[k] for k in wanted_cases}
 
     for name, params in cases.items():
         rest = dp.merge({k: v for k, v in full_params.items()
@@ -84,16 +100,18 @@ def main() -> int:
         fwd = (time.perf_counter() - t0) / args.reps
 
         # fwd+bwd
-        _, g = hg.value_and_grad(params, nc, key, args.bounces, loss_on_acc)
+        vag = hg.value_and_grad_fused if args.fused else hg.value_and_grad
+        _, g = vag(params, nc, key, args.bounces, loss_on_acc)
         jax.block_until_ready(jax.tree.leaves(g)[0])
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            _, g = hg.value_and_grad(params, nc, key, args.bounces, loss_on_acc)
+            _, g = vag(params, nc, key, args.bounces, loss_on_acc)
         jax.block_until_ready(jax.tree.leaves(g)[0])
         both = (time.perf_counter() - t0) / args.reps
 
         print(json.dumps({
             "case": name,
+            "fused": bool(args.fused),
             "span": args.span,
             "params": len(params),
             "fwd_secs": round(fwd, 4),

@@ -55,6 +55,20 @@ def build_argparser() -> argparse.ArgumentParser:
                     "(the GGX ball's loss landscape has a spurious "
                     "dark-albedo/high-roughness basin under MC noise)")
     ap.add_argument("--eval-spp", type=int, default=8)
+    ap.add_argument("--view2", type=str, default=None, metavar="WxH",
+                    help="fit a second camera view jointly (e.g. 256x144):"
+                    " a close-up in which the GGX ball's highlight resolves"
+                    " over many pixels — the multi-view cure for the"
+                    " (albedo, roughness) degeneracy docs/inverse/README.md"
+                    " characterizes for the wide view")
+    ap.add_argument("--view2-eye", type=str, default="-1.0,1.3,2.6",
+                    help="second-view camera eye (x,y,z)")
+    ap.add_argument("--view2-at", type=str, default="-1.0,0.4,0.0",
+                    help="second-view camera look-at target (x,y,z): the"
+                    " GGX ball center (main.rs:238 lineup, ball x=-1)")
+    ap.add_argument("--view2-fov", type=float, default=12.0,
+                    help="second-view vertical fov in degrees (reference"
+                    " tan(full-fov) convention, camera.rs:48)")
     ap.add_argument("--warm-start", type=str, default=None,
                     help="recovered_params.npz from a previous run: start "
                     "every restart from it instead of the published "
@@ -118,11 +132,14 @@ def main(argv=None) -> int:
     nc = normalized_coords(W, H, 1)
     key = jax.random.PRNGKey(args.seed)
 
-    def preview(params, key, spp, path):
+    def preview(params, key, spp, path, cam=None, nc_v=None, wh=None):
+        cam = cs.camera if cam is None else cam
+        nc_v = nc if nc_v is None else nc_v
+        w, h = (W, H) if wh is None else wh
         arr = dp.merge(params, rest)
-        rad = render_radiance(arr, cs.camera, nc, key, args.num_bounces, spp)
+        rad = render_radiance(arr, cam, nc_v, key, args.num_bounces, spp)
         img = np.stack(
-            [np.asarray(c).reshape(H, W) for c in (rad.x, rad.y, rad.z)],
+            [np.asarray(c).reshape(h, w) for c in (rad.x, rad.y, rad.z)],
             axis=-1,
         )
         u8 = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
@@ -131,6 +148,31 @@ def main(argv=None) -> int:
 
     target = preview(true_params, key, args.target_spp,
                      os.path.join(args.out_dir, "target.png"))
+
+    # optional second camera view (the multi-view identifiability cure):
+    # a pinhole close-up of the GGX ball whose highlight structure the
+    # wide view cannot resolve
+    extra_views = None
+    view2 = None
+    if args.view2:
+        from hanamaru_tpu.scene.compile import compile_camera
+        from hanamaru_tpu.scene.desc import CameraDesc
+
+        w2, h2 = (int(v) for v in args.view2.split("x"))
+        eye2 = tuple(float(v) for v in args.view2_eye.split(","))
+        at2 = tuple(float(v) for v in args.view2_at.split(","))
+        dist2 = float(np.linalg.norm(np.asarray(eye2) - np.asarray(at2)))
+        cam2 = compile_camera(CameraDesc(
+            eye=eye2, target=at2, v_fov=args.view2_fov,
+            lens_shape="circle", aperture=0.0, focus_distance=dist2,
+        ))
+        nc2 = normalized_coords(w2, h2, 1)
+        target2 = preview(true_params, jax.random.fold_in(key, 2),
+                          args.target_spp,
+                          os.path.join(args.out_dir, "target_view2.png"),
+                          cam=cam2, nc_v=nc2, wh=(w2, h2))
+        view2 = (cam2, nc2, target2, (w2, h2))
+        extra_views = [(cam2, nc2, target2)]
 
     # params are a dict of pytrees, not of bare arrays (sky_intensity is
     # a Vec3 of scalars), so persistence flattens with jax key paths and
@@ -163,24 +205,29 @@ def main(argv=None) -> int:
               "mat_rough_r", "mat_rough_g", "mat_rough_b")
 
     def heldout_err(params):
-        # paired-product evaluation, averaged over independent key pairs:
-        # E[(A-t)(B-t)] = (E[render]-t)^2 without the estimator-variance
-        # floor that swamped a plain one-render MSE (candidate
-        # differences are ~1e-3; the unpaired variance floor was ~0.3)
+        # paired-product evaluation, averaged over independent key pairs
+        # (and over every fitted view): E[(A-t)(B-t)] = (E[render]-t)^2
+        # without the estimator-variance floor that swamped a plain
+        # one-render MSE (candidate differences are ~1e-3; the unpaired
+        # variance floor was ~0.3)
         arr = dp.merge(params, rest)
+        eval_views = [(cs.camera, nc, target)]
+        if view2 is not None:
+            eval_views.append(view2[:3])
         total = 0.0
         pairs = 4
         for i in range(pairs):
-            ka, kb = jax.random.split(
-                jax.random.PRNGKey(args.seed + 90210 + i))
-            a = render_radiance(arr, cs.camera, nc, ka, args.num_bounces,
-                                args.eval_spp, tex_channels=cs.tex_channels)
-            b = render_radiance(arr, cs.camera, nc, kb, args.num_bounces,
-                                args.eval_spp, tex_channels=cs.tex_channels)
-            prod = ((a.x - target.x) * (b.x - target.x)
-                    + (a.y - target.y) * (b.y - target.y)
-                    + (a.z - target.z) * (b.z - target.z))
-            total += float(jnp.mean(prod))
+            for vi, (cam_v, nc_v, tgt_v) in enumerate(eval_views):
+                ka, kb = jax.random.split(
+                    jax.random.PRNGKey(args.seed + 90210 + 31 * vi + i))
+                a = render_radiance(arr, cam_v, nc_v, ka, args.num_bounces,
+                                    args.eval_spp, tex_channels=cs.tex_channels)
+                b = render_radiance(arr, cam_v, nc_v, kb, args.num_bounces,
+                                    args.eval_spp, tex_channels=cs.tex_channels)
+                prod = ((a.x - tgt_v.x) * (b.x - tgt_v.x)
+                        + (a.y - tgt_v.y) * (b.y - tgt_v.y)
+                        + (a.z - tgt_v.z) * (b.z - tgt_v.z))
+                total += float(jnp.mean(prod)) / len(eval_views)
         return total / pairs
 
     candidates = []
@@ -192,6 +239,7 @@ def main(argv=None) -> int:
             param_filter=lambda name: name in wanted,
             verbose=True, mesh=mesh,
             lr_end=args.lr_end or None,
+            extra_views=extra_views,
         )
         # pull the candidate off the mesh: fitted leaves are replicated
         # 8-device arrays, and feeding those to the EAGER held-out /
@@ -209,6 +257,10 @@ def main(argv=None) -> int:
     # final iterate carries step-to-step MC jitter the average does not
     preview(best, key, args.target_spp,
             os.path.join(args.out_dir, "recovered.png"))
+    if view2 is not None:
+        preview(best, jax.random.fold_in(key, 2), args.target_spp,
+                os.path.join(args.out_dir, "recovered_view2.png"),
+                cam=view2[0], nc_v=view2[1], wh=view2[3])
     # persist the recovered parameters for --warm-start refinement runs
     # (key-path flattened: some leaves live inside Vec3 pytrees)
     flat_best, _ = jtu.tree_flatten_with_path(best)
@@ -218,6 +270,9 @@ def main(argv=None) -> int:
     # report: true vs recovered for every perturbed channel
     report = {"losses_first": result.losses[0], "losses_last": result.losses[-1],
               "steps": args.steps, "resolution": f"{W}x{H}",
+              "view2": (None if not args.view2 else {
+                  "resolution": args.view2, "eye": args.view2_eye,
+                  "at": args.view2_at, "v_fov": args.view2_fov}),
               "restarts": max(args.restarts, 1), "chosen_restart": chosen,
               "heldout_mse": heldout,
               "heldout_all": [round(c[0], 6) for c in sorted(candidates, key=lambda c: c[1])],
