@@ -146,7 +146,14 @@ def main() -> int:
                       lens_shape=desc.camera.lens_shape,
                       tex_channels=cs.tex_channels, span=span)
 
-        vag = (hg.value_and_grad_fused if span == cfg.num_bounces
+        # fused single-dispatch grad passes for the mat tier; the
+        # all-params fused program OOMs HBM at the full-frame chunk
+        # (19.8G needed vs 15.75G: the live forward's temps plus the
+        # 27M-texel atlas adjoint coexist in one program — round-5 log,
+        # docs/perf.md), so that tier keeps the chained span=9 path
+        # (4 dispatches/pass, measured 1.0e9 rays/s)
+        vag = (hg.value_and_grad_fused
+               if span == cfg.num_bounces and tier == "mat"
                else hg.value_and_grad)
 
         def one_grad_pass(seed_key):
@@ -159,14 +166,25 @@ def main() -> int:
                 total = g if total is None else hg._add(total, g)
             return total
 
-        # warmup / compile (fwd+bwd+loss programs; first TPU compile is slow)
+        # warmup / compile (fwd+bwd+loss programs; first TPU compile is
+        # slow — and the accumulator add below is its own program per
+        # tier, so compile it here too, not inside the timed region)
         g = one_grad_pass(jax.random.fold_in(key, 1000))
+        g = hg._add(g, g)
         jax.block_until_ready(jax.tree.leaves(g)[0])
 
+        # dependency-chain the timed passes (every pass's gradient feeds
+        # the accumulator the final block waits on): with independent
+        # passes, this environment's relay produced wall times below the
+        # device-compute floor — dropped/elided dispatches cannot hide
+        # behind an accumulation chain.  The forward section above gets
+        # the same property from the progressive accumulator.
+        total = g
         t0 = time.monotonic()
         for p in range(grad_passes):
             g = one_grad_pass(jax.random.fold_in(key, 2000 + p))
-        jax.block_until_ready(jax.tree.leaves(g)[0])
+            total = hg._add(total, g)
+        jax.block_until_ready(jax.tree.leaves(total)[0])
         dt = time.monotonic() - t0
         rate = rays_per_pass * grad_passes / dt
         print(f"# fwd+bwd[{tier}]: {rate:.3e} rays/s", file=sys.stderr)

@@ -29,6 +29,15 @@ def main() -> int:
         "docs/perf.md)",
     )
     ap.add_argument(
+        "--vary-keys", action="store_true",
+        help="fold the rep index into the PRNG key so every rep is a "
+        "distinct computation (bench.py's methodology).  The default "
+        "same-key loop measured single-dispatch fused programs at "
+        "impossible rates (fwd+bwd < fwd) on the relay — repeated "
+        "identical dispatches are apparently short-circuited somewhere "
+        "below JAX — so fused timings must use this flag",
+    )
+    ap.add_argument(
         "--fused", action="store_true",
         help="use HostGrad.value_and_grad_fused (single-dispatch "
         "fwd+loss+bwd; requires --span == --bounces)",
@@ -90,28 +99,46 @@ def main() -> int:
         hg = HostGrad(rest, cs.camera, lens_shape=desc.camera.lens_shape,
                       tex_channels=cs.tex_channels, span=args.span)
 
-        # fwd-only chain
+        def rep_key(i):
+            return jax.random.fold_in(key, 777 + i) if args.vary_keys else key
+
+        jax.block_until_ready(rep_key(0))  # warm the fold_in program
+
+        # every timed rep feeds an accumulator the final block waits on:
+        # independent same-shaped reps measured *below the device-compute
+        # floor* on this relay (fwd+bwd "faster" than fwd — round-5 log,
+        # docs/perf.md), i.e. un-consumed dispatches are not reliably
+        # executed-and-waited-for.  Chaining restores bench.py semantics
+        # (the progressive accumulator chains forward passes there).
+
+        # fwd-only chain (warm the accumulator-add programs outside the
+        # timed regions: each is a fresh remote compile per pytree shape)
         acc = hg.radiance(params, nc, key, args.bounces)
+        acc = hg._add(acc, acc)
         jax.block_until_ready(acc.x)
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            acc = hg.radiance(params, nc, key, args.bounces)
+        for i in range(args.reps):
+            acc = hg._add(acc, hg.radiance(params, nc, rep_key(i), args.bounces))
         jax.block_until_ready(acc.x)
         fwd = (time.perf_counter() - t0) / args.reps
 
         # fwd+bwd
         vag = hg.value_and_grad_fused if args.fused else hg.value_and_grad
         _, g = vag(params, nc, key, args.bounces, loss_on_acc)
-        jax.block_until_ready(jax.tree.leaves(g)[0])
+        total = hg._add(g, g)
+        jax.block_until_ready(jax.tree.leaves(total)[0])
+        total = g
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            _, g = vag(params, nc, key, args.bounces, loss_on_acc)
-        jax.block_until_ready(jax.tree.leaves(g)[0])
+        for i in range(args.reps):
+            _, g = vag(params, nc, rep_key(i), args.bounces, loss_on_acc)
+            total = hg._add(total, g)
+        jax.block_until_ready(jax.tree.leaves(total)[0])
         both = (time.perf_counter() - t0) / args.reps
 
         print(json.dumps({
             "case": name,
             "fused": bool(args.fused),
+            "vary_keys": bool(args.vary_keys),
             "span": args.span,
             "params": len(params),
             "fwd_secs": round(fwd, 4),
