@@ -97,8 +97,15 @@ class RenderConfig:
     # count by ~k (9 bounces: 11 -> 5 dispatches/pass at span 3).  Used
     # when it divides num_bounces and stream compaction is off (the
     # compaction decision point needs per-bounce host control).  Pure
-    # unrolling of the same step: bit-identical images.
-    bounce_span: int = 3
+    # unrolling of the same step: bit-identical images.  When the span
+    # covers ALL bounces, the whole pass (raygen + bounces + accumulate
+    # + key folds) fuses into a single program per chunk — fewer
+    # dispatches AND no inter-program PathState round-trips through HBM
+    # (runtime/progressive.py, docs/perf.md round-5 table).
+    # -1 = auto: full fusion (num_bounces) on accelerator backends,
+    # span 3 on CPU where the 9-bounce unroll only slows XLA:CPU's
+    # compile down.
+    bounce_span: int = -1
 
     # BVH traversal backend: "xla" (per-ray lockstep while_loop — the
     # production path for every ray class; docs/perf.md has the measured

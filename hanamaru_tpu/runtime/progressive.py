@@ -167,7 +167,13 @@ def _pass_fn(
     # one jitted program — same ops, same RNG (bounce_fn keys by
     # bounce_idx), k-fold fewer host dispatches.  Compaction needs
     # per-bounce host control, so spans apply only to the masked path.
-    span = cfg.bounce_span if cfg.bounce_span > 0 else 1
+    if cfg.bounce_span < 0:
+        # auto: full-pass fusion on accelerators; span 3 on CPU, where
+        # unrolling all 9 bounces only slows the XLA:CPU compile
+        span = (cfg.num_bounces if jax.default_backend() != "cpu"
+                else (3 if cfg.num_bounces % 3 == 0 else 1))
+    else:
+        span = cfg.bounce_span if cfg.bounce_span > 0 else 1
     if cfg.num_bounces % span or cfg.compact_from_bounce is not None:
         span = 1
 
@@ -176,11 +182,35 @@ def _pass_fn(
             state = bounce_fn(arrays, state, key, b0 + j)
         return state
 
+    # whole-pass fusion (span == num_bounces): raygen, every bounce, the
+    # accumulator update AND the per-chunk key folds as ONE jitted
+    # program per chunk — the round-5 single-dispatch lever.  Beyond
+    # dispatch count, the win is HBM traffic: the chained path writes the
+    # full PathState (~15 arrays x chunk rays) to HBM between programs,
+    # the fused program streams rays end-to-end (measured on the grad
+    # side: the fused fwd+bwd beat the 3-dispatch forward chain,
+    # docs/perf.md round-5 table).  PRNG derivations are identical to
+    # the chained path (the fold_in/split calls move in-program
+    # unchanged), so images match to float-fusion ulps.
+    fuse_whole_pass = (span == cfg.num_bounces
+                       and cfg.compact_from_bounce is None)
+
+    def fused_chunk_fn(arrays, nc, acc, key, ci):
+        _, k_path = jax.random.split(key)
+        k_chunk = jax.random.fold_in(k_path, ci)
+        state = raygen_fn(nc, jax.random.fold_in(key, ci))
+        for b in range(cfg.num_bounces):
+            state = bounce_fn(arrays, state, k_chunk, b)
+        return accumulate_fn(state.acc, acc, ci)
+
+    fused_chunk = None
     if mesh is None:
         raygen = jax.jit(raygen_fn)
         bounce = jax.jit(bounce_span_fn, donate_argnums=(1,))
         bounce_compact = jax.jit(bounce_compact_fn, donate_argnums=(1,))
         accumulate = jax.jit(accumulate_fn, donate_argnums=(1,))
+        if fuse_whole_pass:
+            fused_chunk = jax.jit(fused_chunk_fn, donate_argnums=(2,))
     else:
         bounce_compact = None  # mesh path never compacts (see one_pass)
 
@@ -233,6 +263,30 @@ def _pass_fn(
             ),
             donate_argnums=(1,),
         )
+        if fuse_whole_pass:
+            def fused_chunk_shard(arrays, nc, acc, key, ci):
+                # same per-device stream decorrelation as raygen_shard /
+                # bounce_shard: fold the axis index into each derived key
+                ax = jax.lax.axis_index(RAY_AXIS)
+                _, k_path = jax.random.split(key)
+                k_chunk = jax.random.fold_in(
+                    jax.random.fold_in(k_path, ci), ax)
+                kr = jax.random.fold_in(jax.random.fold_in(key, ci), ax)
+                state = raygen_fn(nc, kr)
+                for b in range(cfg.num_bounces):
+                    state = bounce_fn(arrays, state, k_chunk, b)
+                return accumulate_fn(state.acc, acc, ci)
+
+            fused_chunk = jax.jit(
+                jax.shard_map(
+                    fused_chunk_shard, mesh=mesh,
+                    in_specs=(P(), Vec2(ray_p, ray_p),
+                              Vec3(acc_p, acc_p, acc_p), P(), P()),
+                    out_specs=Vec3(acc_p, acc_p, acc_p),
+                    check_vma=False,
+                ),
+                donate_argnums=(2,),
+            )
 
     # stream compaction (single-chip only; SPMD shards need one shape —
     # per-device live counts diverge, so the mesh path keeps masking)
@@ -249,6 +303,14 @@ def _pass_fn(
 
     def one_pass(arrays, acc: Vec3, key) -> Vec3:
         from ..ops import compaction
+
+        if fused_chunk is not None:
+            # single dispatch per chunk; ci rides as a traced scalar so
+            # one compiled program serves every chunk
+            for ci in chunk_ids:
+                acc = fused_chunk(arrays, nc_chunks[ci], acc, key,
+                                  jnp.int32(ci))
+            return acc
 
         _, k_path = jax.random.split(key)
         for ci in chunk_ids:

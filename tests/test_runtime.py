@@ -127,3 +127,34 @@ def test_debug_mode_output(tmp_path):
     assert (out / "result.png").exists()
     log = (out / "result.txt").read_text()
     assert "sampled: 1x4 spp." in log
+
+
+def test_fused_whole_pass_matches_chained(tmp_path):
+    """bounce_span == num_bounces fuses raygen + every bounce + the
+    accumulator update + the per-chunk key folds into one program per
+    chunk (runtime/progressive.py fused_chunk_fn).  The PRNG derivations
+    are moved in-program unchanged, so the fused pass must reproduce the
+    chained pass's accumulator (float-fusion reassociation only)."""
+    import jax
+
+    from hanamaru_tpu import models
+    from hanamaru_tpu.config import RenderConfig
+    from hanamaru_tpu.runtime.progressive import ProgressiveRenderer
+    from hanamaru_tpu.scene.compile import compile_scene
+
+    cs = compile_scene(models.build("material_examples"), models.asset_root())
+    mk = lambda span: RenderConfig(
+        width=32, height=24, sampling=1, bounce_limit=3, bounce_span=span,
+        time_limit_sec=1e9, report_interval_sec=1e9,
+    )
+    key = jax.random.PRNGKey(11)
+
+    chained = ProgressiveRenderer(cs, mk(1), out_dir=str(tmp_path))
+    chained.acc = chained._pass(chained.arrays, chained.acc, key)
+    fused = ProgressiveRenderer(cs, mk(2), out_dir=str(tmp_path))
+    fused.acc = fused._pass(fused.arrays, fused.acc, key)
+
+    for c, f in zip(chained.acc, fused.acc):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(c), rtol=2e-4, atol=1e-5,
+        )

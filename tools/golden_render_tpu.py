@@ -95,10 +95,19 @@ def main() -> int:
               flush=True)
 
         time.sleep(args.quiesce)
+        # the finalize/fetch wall times double as a block_until_ready
+        # honesty check: if the render loop's block returned before the
+        # queued passes actually executed, the first data-dependent
+        # observation here absorbs the remaining execution time
+        # (docs/perf.md round-5 "measurement integrity")
+        t0 = time.monotonic()
         img = r._finalize(r.acc, passes)
         jax.block_until_ready(img)
-        print(f"# [{stage}] finalized; fetching...", flush=True)
+        print(f"# [{stage}] finalized ({time.monotonic() - t0:.1f}s); "
+              "fetching...", flush=True)
+        t0 = time.monotonic()
         out = fetch_image(img)
+        print(f"# [{stage}] fetched ({time.monotonic() - t0:.1f}s)", flush=True)
         path = os.path.join(args.out_dir, f"rtcamp6_{w}x{h}_{passes}pass.png")
         save_png(path, out)
         print(f"# [{stage}] saved {path}", flush=True)
