@@ -146,15 +146,18 @@ def main() -> int:
                       lens_shape=desc.camera.lens_shape,
                       tex_channels=cs.tex_channels, span=span)
 
-        # fused single-dispatch grad passes for the mat tier; the
-        # all-params fused program OOMs HBM at the full-frame chunk
-        # (19.8G needed vs 15.75G: the live forward's temps plus the
-        # 27M-texel atlas adjoint coexist in one program — round-5 log,
-        # docs/perf.md), so that tier keeps the chained span=9 path
-        # (4 dispatches/pass, measured 1.0e9 rays/s)
-        vag = (hg.value_and_grad_fused
-               if span == cfg.num_bounces and tier == "mat"
-               else hg.value_and_grad)
+        # chained span=9 for every tier (4 dispatches/pass).  The fused
+        # single-dispatch variant (value_and_grad_fused) exists and is
+        # gradient-identical (tests/test_hostgrad.py), but on THIS
+        # relay single-dispatch programs time below the device-compute
+        # floor under block_until_ready (enqueue-rate, not execution —
+        # docs/perf.md round-5 "measurement integrity") and the one
+        # fused render loop driven to an actual image fetch crashed the
+        # TPU worker; numbers of record therefore come from the chained
+        # formulation whose rates scale consistently with dispatch
+        # count across rounds.  All-params fused is additionally a
+        # compile-time HBM OOM at the full-frame chunk (19.8G > 15.75G).
+        vag = hg.value_and_grad
 
         def one_grad_pass(seed_key):
             total = None
@@ -203,7 +206,7 @@ def main() -> int:
                 "vs_baseline": vs,
                 "grad_params_tier": "mat",
                 "grad_span": span,
-                "grad_fused": span == cfg.num_bounces,
+                "grad_fused": False,
                 "fwd_bwd_all_params_rays_per_sec": fwdbwd_all_rays_per_sec,
                 "fwd_bwd_all_params_vs_baseline": (
                     fwdbwd_all_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC

@@ -101,11 +101,14 @@ class RenderConfig:
     # covers ALL bounces, the whole pass (raygen + bounces + accumulate
     # + key folds) fuses into a single program per chunk — fewer
     # dispatches AND no inter-program PathState round-trips through HBM
-    # (runtime/progressive.py, docs/perf.md round-5 table).
-    # -1 = auto: full fusion (num_bounces) on accelerator backends,
-    # span 3 on CPU where the 9-bounce unroll only slows XLA:CPU's
-    # compile down.
-    bounce_span: int = -1
+    # (runtime/progressive.py).  -1 opts into that full fusion
+    # (num_bounces on accelerators, span 3 on CPU whose compiler only
+    # slows down on the unroll); it is NOT the default because the one
+    # full-fusion render loop driven on this environment's relay
+    # crashed the TPU worker (2026-08-21 22:28, docs/perf.md round-5
+    # golden-attempt log) — image-identical by the fused-vs-chained
+    # test, so re-try it on a TPU not behind this relay.
+    bounce_span: int = 3
 
     # BVH traversal backend: "xla" (per-ray lockstep while_loop — the
     # production path for every ray class; docs/perf.md has the measured
