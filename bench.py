@@ -193,8 +193,8 @@ def main() -> int:
         print(f"# fwd+bwd[{tier}]: {rate:.3e} rays/s", file=sys.stderr)
         return rate
 
-    fwdbwd_rays_per_sec = measure_tier("mat", 2)
-    fwdbwd_all_rays_per_sec = measure_tier("all", 1)
+    fwdbwd_rays_per_sec = measure_tier("mat", 3)
+    fwdbwd_all_rays_per_sec = measure_tier("all", 2)
     vs = fwdbwd_rays_per_sec / BASELINE_PRIMARY_RAYS_PER_SEC
 
     print(
