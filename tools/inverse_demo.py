@@ -97,6 +97,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from hanamaru_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

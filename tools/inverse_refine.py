@@ -54,6 +54,10 @@ def main(argv=None) -> int:
             ).strip()
     import jax
 
+    from hanamaru_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
