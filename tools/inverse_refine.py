@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--cpu-mesh", type=int, default=0)
+    ap.add_argument("--target-cache", type=str, default=None,
+                    help="npz path: save the rendered two-view targets on "
+                    "first use and load them on later runs (targets are "
+                    "deterministic in --seed/--target-spp, and rendering "
+                    "them costs ~12 min on this 2-core host)")
     args = ap.parse_args(argv)
 
     if args.cpu_mesh:
@@ -87,12 +92,10 @@ def main(argv=None) -> int:
             for f in ("mat_rough_r", "mat_rough_g", "mat_rough_b"):
                 true_params[f] = true_params[f].at[m].set(rough)
 
+    from hanamaru_tpu.utils.vec import Vec3
+
     key = jax.random.PRNGKey(args.seed)
     nc = normalized_coords(W, H, 1)
-    target = render_radiance(dp.merge(true_params, rest), cs.camera, nc, key,
-                             args.num_bounces, args.target_spp)
-    print("# target rendered", file=sys.stderr, flush=True)
-
     w2, h2 = (int(v) for v in args.view2.split("x"))
     eye2 = tuple(float(v) for v in args.view2_eye.split(","))
     at2 = tuple(float(v) for v in args.view2_at.split(","))
@@ -102,10 +105,27 @@ def main(argv=None) -> int:
                                      lens_shape="circle", aperture=0.0,
                                      focus_distance=dist2))
     nc2 = normalized_coords(w2, h2, 1)
-    target2 = render_radiance(dp.merge(true_params, rest), cam2, nc2,
-                              jax.random.fold_in(key, 2),
-                              args.num_bounces, args.target_spp)
-    print("# target_view2 rendered", file=sys.stderr, flush=True)
+
+    if args.target_cache and os.path.exists(args.target_cache):
+        tc = dict(np.load(args.target_cache))
+        target = Vec3(*(jnp.asarray(tc[f"t1_{c}"]) for c in "xyz"))
+        target2 = Vec3(*(jnp.asarray(tc[f"t2_{c}"]) for c in "xyz"))
+        print(f"# targets loaded from {args.target_cache}",
+              file=sys.stderr, flush=True)
+    else:
+        target = render_radiance(dp.merge(true_params, rest), cs.camera, nc,
+                                 key, args.num_bounces, args.target_spp)
+        print("# target rendered", file=sys.stderr, flush=True)
+        target2 = render_radiance(dp.merge(true_params, rest), cam2, nc2,
+                                  jax.random.fold_in(key, 2),
+                                  args.num_bounces, args.target_spp)
+        print("# target_view2 rendered", file=sys.stderr, flush=True)
+        if args.target_cache:
+            np.savez(args.target_cache,
+                     **{f"t1_{c}": np.asarray(getattr(target, c))
+                        for c in "xyz"},
+                     **{f"t2_{c}": np.asarray(getattr(target2, c))
+                        for c in "xyz"})
 
     loaded = dict(np.load(args.warm_start))
     flat_init, treedef = jtu.tree_flatten_with_path(init_params)
