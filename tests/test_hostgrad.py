@@ -117,6 +117,29 @@ def test_hostgrad_span2_matches_span1(scan_reference):
         )
 
 
+@pytest.mark.slow
+def test_hostgrad_multi_span_chain_matches_scan_grad(scan_reference):
+    """span=2 over BOUNCES=4: TWO spans per chain, so the backward host
+    loop runs more than one bwd dispatch and must thread the running
+    cotangents (`grads_in` accumulation) across span boundaries — the
+    structure the production span=3 x 9-bounce configuration relies on
+    (bench.py GRAD_SPAN), which the single-span cases above never
+    exercise.  Compared against the module-scoped jax.grad-over-scan
+    reference, so the only new compile is the span=2 program pair."""
+    r = scan_reference
+    hg = HostGrad(r["rest"], r["cs"].camera, lens_shape="circle", span=2)
+    loss_h, grads_h = hg.value_and_grad(
+        r["params"], r["nc"], r["key"], BOUNCES, r["loss_on_acc"])
+
+    np.testing.assert_allclose(float(loss_h), float(r["loss_s"]), rtol=1e-5)
+    for k in r["grads_s"]:
+        np.testing.assert_allclose(
+            np.asarray(jnp.asarray(jax.tree.leaves(grads_h[k])[0])),
+            np.asarray(jnp.asarray(jax.tree.leaves(r["grads_s"][k])[0])),
+            rtol=2e-4, atol=1e-6, err_msg=f"{k} (span=2 x 2 spans vs scan)",
+        )
+
+
 def test_hostgrad_fused_matches_chain(scan_reference):
     """value_and_grad_fused (raygen+fwd+loss+VJP as ONE program, the
     round-5 single-dispatch lever) equals the chained path at
